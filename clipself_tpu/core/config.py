@@ -1,0 +1,114 @@
+"""Model configuration dataclasses and the JSON config registry.
+
+Mirrors the semantics of the reference's JSON model-config registry
+(`src/open_clip/factory.py:25-54` and `src/open_clip/eva_clip/factory.py:21-50`,
+configs in `model_configs/*.json`), re-designed as typed dataclasses. Config
+JSON files live in `clipself_tpu/configs/` and are keyed by file stem.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Tuple, Union
+
+_CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    """EVA-style vision transformer hyperparameters.
+
+    Field semantics match the reference `CLIPVisionCfg`
+    (`src/open_clip/eva_clip/model.py:36-62`).
+    """
+
+    image_size: int = 224
+    layers: int = 12
+    width: int = 768
+    head_width: int = 64
+    patch_size: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    patch_dropout: float = 0.0
+    ls_init_value: Optional[float] = None
+    # EVA02 architecture knobs
+    rope: bool = False
+    pt_hw_seq_len: int = 16
+    intp_freq: bool = False
+    naiveswiglu: bool = False
+    subln: bool = False
+    postnorm: bool = False
+    xattn: bool = False  # kept for config parity; attention impl is chosen at runtime
+    fusedLN: bool = False  # LayerNorm is always XLA-fused on TPU; kept for parity
+    global_average_pool: bool = False
+    eva_model_name: Optional[str] = None
+    ln_eps: float = 1e-6
+
+    @property
+    def num_heads(self) -> int:
+        return self.width // self.head_width
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def rope_dim(self) -> int:
+        # half the head dim is rotated per spatial axis
+        return self.head_width // 2
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    """Text transformer hyperparameters (reference `CLIPTextCfg`,
+    `src/open_clip/eva_clip/model.py:65-81`)."""
+
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    ls_init_value: Optional[float] = None
+    xattn: bool = False
+    fusedLN: bool = False
+    attn_mask: bool = True
+    ln_eps: float = 1e-5
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 512
+    vision: VisionConfig = field(default_factory=VisionConfig)
+    text: TextConfig = field(default_factory=TextConfig)
+    name: str = ""
+
+
+def _filter_fields(cls, cfg: dict) -> dict:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in cfg.items() if k in names}
+
+
+def config_from_dict(d: dict, name: str = "") -> CLIPConfig:
+    vision = VisionConfig(**_filter_fields(VisionConfig, d.get("vision_cfg", {})))
+    text = TextConfig(**_filter_fields(TextConfig, d.get("text_cfg", {})))
+    return CLIPConfig(embed_dim=d["embed_dim"], vision=vision, text=text, name=name)
+
+
+def list_models() -> list[str]:
+    return sorted(p.stem for p in _CONFIG_DIR.glob("*.json"))
+
+
+def get_model_config(name: str) -> CLIPConfig:
+    """Load a named model config from the JSON registry."""
+    path = _CONFIG_DIR / f"{name}.json"
+    if not path.exists():
+        raise KeyError(
+            f"Unknown model config '{name}'. Available: {list_models()}"
+        )
+    with open(path) as f:
+        d = json.load(f)
+    return config_from_dict(d, name=name)

@@ -1,0 +1,125 @@
+"""1x1 RoI-align over dense feature maps, re-designed for TPU.
+
+The reference's training hot path calls torchvision's CUDA `roi_align` with
+output size (1,1), `spatial_scale=1`, `sampling_ratio=-1`, `aligned=True` on
+the L2-normalized dense token map (reference call sites:
+`src/open_clip/eva_clip/eva_vit_model.py:625-629`,
+`src/open_clip/transformer.py:685-722`).
+
+TPU-first formulation: with a 1x1 output the adaptive sampling grid is an
+outer product of 1-D sample positions, so the whole op factorizes into
+per-box separable weight vectors ``wy[H]``, ``wx[W]`` followed by ONE matmul
+``[M, H*W] @ [H*W, C]`` that runs on the MXU — no gathers, no dynamic shapes.
+The weight construction reproduces torchvision's sampling semantics exactly
+(adaptive ``ceil`` sample counts, -0.5 aligned offset, border clamping, the
+"outside [-1, size]" zero rule), expressed as masked fixed-size computation.
+
+All functions are jit-/vmap-/grad-friendly and batched with padded boxes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_weights(lo: jnp.ndarray, length: jnp.ndarray, size: int, max_samples: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Accumulated bilinear sample weights along one axis.
+
+    Args:
+      lo: [N] start coordinate of each roi on this axis (already aligned,
+        i.e. ``coord * scale - 0.5``).
+      length: [N] roi extent on this axis (may be zero).
+      size: static feature-map size on this axis.
+      max_samples: static max number of adaptive samples (>= size is exact).
+
+    Returns:
+      (weights [N, size], num_samples [N]) where weights sums each sample's
+      bilinear contribution (NOT yet divided by the sample count).
+    """
+    n = lo.shape[0]
+    grid = jnp.maximum(jnp.ceil(length), 1.0)  # adaptive sample count, >= 1
+    num = jnp.minimum(grid, float(max_samples))
+    i = jnp.arange(max_samples, dtype=lo.dtype)  # [S]
+    # sample position: lo + (i + 0.5) * length / grid
+    pos = lo[:, None] + (i[None, :] + 0.5) * (length / grid)[:, None]  # [N, S]
+    sample_mask = i[None, :] < num[:, None]
+
+    # torchvision bilinear_interpolate: points outside [-1, size] contribute 0
+    outside = (pos < -1.0) | (pos > float(size))
+    p = jnp.maximum(pos, 0.0)
+    p_low = jnp.floor(p)
+    # if p_low >= size - 1: snap to the last cell with zero fraction
+    at_edge = p_low >= float(size - 1)
+    p_low = jnp.where(at_edge, float(size - 1), p_low)
+    frac = jnp.where(at_edge, 0.0, p - p_low)
+    idx_low = p_low.astype(jnp.int32)
+    idx_high = jnp.minimum(idx_low + 1, size - 1)
+
+    valid = (sample_mask & ~outside).astype(lo.dtype)  # [N, S]
+    w_low = (1.0 - frac) * valid
+    w_high = frac * valid
+
+    # scatter-free accumulation: one-hot matmul onto the axis grid
+    grid_ids = jnp.arange(size, dtype=jnp.int32)  # [size]
+    onehot_low = (idx_low[..., None] == grid_ids).astype(lo.dtype)  # [N, S, size]
+    onehot_high = (idx_high[..., None] == grid_ids).astype(lo.dtype)
+    weights = jnp.einsum("ns,nsg->ng", w_low, onehot_low) + jnp.einsum(
+        "ns,nsg->ng", w_high, onehot_high
+    )
+    return weights, num
+
+
+def roi_align_weights(boxes: jnp.ndarray, feat_h: int, feat_w: int) -> jnp.ndarray:
+    """Per-box pooling weights over the feature grid.
+
+    Args:
+      boxes: [N, 4] (x0, y0, x1, y1) in FEATURE-MAP coordinates (i.e. already
+        multiplied by the grid size, as the reference does in
+        `eva_vit_model.py:655-664`).
+      feat_h, feat_w: static feature-map dims.
+
+    Returns:
+      [N, feat_h * feat_w] weights; ``w @ feats.reshape(H*W, C)`` equals
+      torchvision ``roi_align(feats, boxes, (1,1), 1.0, -1, aligned=True)``.
+    """
+    boxes = boxes.astype(jnp.float32)
+    x0 = boxes[:, 0] - 0.5
+    y0 = boxes[:, 1] - 0.5
+    x1 = boxes[:, 2] - 0.5
+    y1 = boxes[:, 3] - 0.5
+    roi_w = x1 - x0
+    roi_h = y1 - y0
+    wy, ny = _axis_weights(y0, roi_h, feat_h, feat_h)  # [N, H]
+    wx, nx = _axis_weights(x0, roi_w, feat_w, feat_w)  # [N, W]
+    count = jnp.maximum(ny * nx, 1.0)  # torchvision: count = max(grid_h*grid_w, 1)
+    w2d = wy[:, :, None] * wx[:, None, :] / count[:, None, None]
+    return w2d.reshape(boxes.shape[0], feat_h * feat_w)
+
+
+def roi_align_1x1(feats: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """Batched 1x1 aligned RoI-align.
+
+    Args:
+      feats: [B, H, W, C] dense feature map (channels-last).
+      boxes: [B, M, 4] (x0, y0, x1, y1) in feature-map coordinates. Padded
+        (invalid) boxes simply produce garbage rows; mask downstream.
+
+    Returns:
+      [B, M, C] pooled features.
+    """
+    b, h, w, c = feats.shape
+    weights = jax.vmap(lambda bx: roi_align_weights(bx, h, w))(boxes)  # [B, M, H*W]
+    flat = feats.reshape(b, h * w, c)
+    out = jnp.einsum(
+        "bmn,bnc->bmc", weights.astype(jnp.float32), flat.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(feats.dtype)
+
+
+def denormalize_boxes(normed_boxes: jnp.ndarray, feat_h: int, feat_w: int) -> jnp.ndarray:
+    """Scale [0,1]-normalized xyxy boxes to feature-map coordinates
+    (reference `_denormalize_boxes`, `eva_vit_model.py:655-664`)."""
+    scale = jnp.asarray([feat_w, feat_h, feat_w, feat_h], dtype=jnp.float32)
+    return normed_boxes.astype(jnp.float32) * scale

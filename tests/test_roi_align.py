@@ -1,0 +1,129 @@
+"""roi_align_1x1 vs an independent NumPy oracle of torchvision's algorithm.
+
+The oracle follows the documented RoIAlign algorithm (Mask R-CNN paper +
+torchvision docs): aligned=True offset, adaptive ceil() sampling grid,
+bilinear interpolation with border clamping and the outside-[-1,size] rule.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipself_tpu.ops.mask_pool import mask_pool
+from clipself_tpu.ops.roi_align import denormalize_boxes, roi_align_1x1
+
+
+def _bilinear(feat, y, x):
+    """feat: [H, W, C]; single point bilinear with torchvision rules."""
+    h, w, _ = feat.shape
+    if y < -1.0 or y > h or x < -1.0 or x > w:
+        return 0.0
+    y = max(y, 0.0)
+    x = max(x, 0.0)
+    y_low = int(np.floor(y))
+    x_low = int(np.floor(x))
+    if y_low >= h - 1:
+        y_low = y_high = h - 1
+        y = float(y_low)
+    else:
+        y_high = y_low + 1
+    if x_low >= w - 1:
+        x_low = x_high = w - 1
+        x = float(x_low)
+    else:
+        x_high = x_low + 1
+    ly, lx = y - y_low, x - x_low
+    hy, hx = 1.0 - ly, 1.0 - lx
+    return (
+        hy * hx * feat[y_low, x_low]
+        + hy * lx * feat[y_low, x_high]
+        + ly * hx * feat[y_high, x_low]
+        + ly * lx * feat[y_high, x_high]
+    )
+
+
+def oracle_roi_align_1x1(feat, boxes):
+    """feat: [H, W, C]; boxes: [N, 4] xyxy in feature coords; aligned=True."""
+    out = []
+    for x0, y0, x1, y1 in boxes:
+        sx0, sy0 = x0 - 0.5, y0 - 0.5
+        roi_w = x1 - x0
+        roi_h = y1 - y0
+        gh = max(int(np.ceil(roi_h)), 1)
+        gw = max(int(np.ceil(roi_w)), 1)
+        acc = 0.0
+        for iy in range(gh):
+            yy = sy0 + (iy + 0.5) * roi_h / gh
+            for ix in range(gw):
+                xx = sx0 + (ix + 0.5) * roi_w / gw
+                acc = acc + _bilinear(feat, yy, xx)
+        out.append(acc / max(gh * gw, 1))
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_roi_align_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    h, w, c = 16, 16, 8
+    feat = rng.normal(size=(h, w, c)).astype(np.float32)
+    n = 12
+    x0 = rng.uniform(0, w - 1, n)
+    y0 = rng.uniform(0, h - 1, n)
+    x1 = x0 + rng.uniform(0.1, w - x0)
+    y1 = y0 + rng.uniform(0.1, h - y0)
+    boxes = np.stack([x0, y0, x1, y1], axis=-1).astype(np.float32)
+
+    ours = np.asarray(roi_align_1x1(feat[None], boxes[None]))[0]
+    ref = oracle_roi_align_1x1(feat, boxes)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_degenerate_and_full_boxes():
+    rng = np.random.default_rng(3)
+    h, w, c = 8, 8, 4
+    feat = rng.normal(size=(h, w, c)).astype(np.float32)
+    boxes = np.array(
+        [
+            [0.0, 0.0, 8.0, 8.0],  # full image
+            [3.0, 3.0, 3.0, 3.0],  # zero-size box
+            [7.5, 7.5, 8.0, 8.0],  # touching bottom-right corner
+            [0.0, 0.0, 0.4, 0.4],  # tiny top-left
+        ],
+        dtype=np.float32,
+    )
+    ours = np.asarray(roi_align_1x1(feat[None], boxes[None]))[0]
+    ref = oracle_roi_align_1x1(feat, boxes)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_denormalize_boxes():
+    nb = jnp.asarray([[0.0, 0.0, 1.0, 0.5]])
+    db = denormalize_boxes(nb, feat_h=64, feat_w=32)
+    np.testing.assert_allclose(np.asarray(db), [[0.0, 0.0, 32.0, 32.0]])
+
+
+def test_roi_align_jit_and_grad():
+    rng = np.random.default_rng(4)
+    feat = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    boxes = jnp.asarray(
+        rng.uniform(1, 6, size=(2, 5, 4)).astype(np.float32)
+    ).sort(axis=-1)
+
+    f = jax.jit(lambda ft: roi_align_1x1(ft, boxes).sum())
+    g = jax.grad(lambda ft: roi_align_1x1(ft, boxes).sum())(feat)
+    assert np.isfinite(float(f(feat)))
+    assert g.shape == feat.shape
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_mask_pool():
+    rng = np.random.default_rng(5)
+    feat = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)
+    masks = np.zeros((1, 2, 4, 4), np.float32)
+    masks[0, 0, :2, :2] = 1.0  # top-left 2x2
+    # second mask left empty (padding)
+    out = np.asarray(mask_pool(jnp.asarray(feat), jnp.asarray(masks)))
+    expected = feat[0, :2, :2].reshape(-1, 3).mean(0)
+    np.testing.assert_allclose(out[0, 0], expected, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out[0, 1], 0.0, atol=1e-6)
