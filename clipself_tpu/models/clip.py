@@ -1,0 +1,96 @@
+"""CLIP assembly with the dense-prediction API.
+
+Parity surface (reference `CustomCLIP`,
+`src/open_clip/eva_clip/model.py:272-346`): `encode_image`, `encode_text`,
+`encode_dense`, `encode_pseudo_boxes`, `encode_masks`, plus the fused
+`encode_rois_and_image`. The text tower is frozen by recipe (enforced by the
+optimizer mask, not parameter surgery — JAX params are immutable anyway).
+
+Batched, fixed-shape API: boxes are [B, max_anns, 4] with validity handled by
+callers via masks, instead of the reference's ragged per-image lists.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from clipself_tpu.core.config import CLIPConfig
+from clipself_tpu.models.eva_vit import EvaViT
+from clipself_tpu.models.text_transformer import TextTransformer
+
+Dtype = Any
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    return (x.astype(jnp.float32) / (n + 1e-12)).astype(x.dtype)
+
+
+class CLIP(nn.Module):
+    cfg: CLIPConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    def setup(self):
+        self.visual = EvaViT(
+            self.cfg.vision,
+            embed_dim=self.cfg.embed_dim,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            remat=self.remat,
+            name="visual",
+        )
+        self.text = TextTransformer(
+            self.cfg.text, embed_dim=self.cfg.embed_dim, dtype=self.dtype, name="text"
+        )
+        self.logit_scale = self.param(
+            "logit_scale",
+            nn.initializers.constant(np.log(1.0 / 0.07)),
+            (),
+            jnp.float32,
+        )
+
+    def __call__(self, image: jnp.ndarray, text: jnp.ndarray):
+        return (
+            self.encode_image(image, normalize=True),
+            self.encode_text(text, normalize=True),
+            jnp.exp(self.logit_scale),
+        )
+
+    def encode_image(self, image: jnp.ndarray, normalize: bool = False) -> jnp.ndarray:
+        feats = self.visual(image)
+        return l2_normalize(feats) if normalize else feats
+
+    def encode_text(self, text: jnp.ndarray, normalize: bool = False) -> jnp.ndarray:
+        feats = self.text(text)
+        return l2_normalize(feats) if normalize else feats
+
+    def encode_dense(
+        self, image: jnp.ndarray, normalize: bool = False, keep_shape: bool = False
+    ) -> jnp.ndarray:
+        # dense features are already L2-normalized by the protocol; the
+        # normalize flag re-normalizes for parity with the reference API.
+        feats = self.visual.encode_dense(image, keep_shape=keep_shape)
+        return l2_normalize(feats) if normalize else feats
+
+    def encode_pseudo_boxes(
+        self, image: jnp.ndarray, normed_boxes: jnp.ndarray, normalize: bool = False
+    ) -> jnp.ndarray:
+        """image: [B, H, W, 3]; normed_boxes: [B, M, 4] in [0,1] xyxy."""
+        feats = self.visual.extract_roi_features(image, normed_boxes)
+        return l2_normalize(feats) if normalize else feats
+
+    def encode_masks(
+        self, image: jnp.ndarray, masks: jnp.ndarray, normalize: bool = True
+    ) -> jnp.ndarray:
+        """image: [B, H, W, 3]; masks: [B, M, gh, gw] binary."""
+        feats = self.visual.mask_pool(image, masks)
+        return l2_normalize(feats) if normalize else feats
+
+    def encode_rois_and_image(self, image: jnp.ndarray, normed_boxes: jnp.ndarray):
+        return self.visual.encode_rois_and_image(image, normed_boxes)

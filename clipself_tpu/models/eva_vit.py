@@ -1,0 +1,376 @@
+"""EVA02-style vision transformer in Flax, with the dense-prediction protocol.
+
+Behavioral parity targets (all re-derived, none translated):
+  - trunk layout: pre-norm blocks with SwiGLU MLP, sub-LN (separate q/k/v
+    projections + inner attention LN + ffn LN), 2-D RoPE on patch tokens
+    (reference `src/open_clip/eva_clip/eva_vit_model.py:107-332,396-586`)
+  - dense protocol: final block applied WITHOUT attention mixing (value path
+    only), drop CLS, final norm + head, L2-normalize
+    (reference `eva_vit_model.py:249-256,588-623`)
+  - variable input resolution: absolute pos-embed bicubic-resized to the
+    input grid, RoPE tables rebuilt per grid
+    (reference `eva_vit_model.py:631-643`, `rope.py:179-214`)
+
+TPU-first design notes:
+  - channels-last [B, H, W, 3] inputs; tokens [B, N, D]
+  - every input shape is a separate compiled executable; pos-embed resize and
+    RoPE tables are trace-time constants (no runtime caches)
+  - params live in float32; activations in a configurable compute dtype
+    (bfloat16 on TPU); LayerNorms always compute in float32
+  - attention dispatches to the Pallas flash kernel for long sequences
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from clipself_tpu.core.config import VisionConfig
+from clipself_tpu.models.rope import apply_rope
+from clipself_tpu.ops.attention import multi_head_attention
+from clipself_tpu.ops.interpolate import resize_2d
+from clipself_tpu.ops.mask_pool import mask_pool
+from clipself_tpu.ops.roi_align import denormalize_boxes, roi_align_1x1
+
+Dtype = Any
+
+
+def _layer_norm(name: str, eps: float):
+    # LayerNorm computes in f32 regardless of activation dtype (parity with
+    # the reference's fp32 LN behavior under AMP).
+    return nn.LayerNorm(epsilon=eps, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+
+
+class EvaAttention(nn.Module):
+    cfg: VisionConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        c = self.cfg
+        dim = c.width
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        if c.subln:
+            self.q_proj = nn.Dense(dim, use_bias=c.qkv_bias, name="q_proj", **kw)
+            self.k_proj = nn.Dense(dim, use_bias=False, name="k_proj", **kw)
+            self.v_proj = nn.Dense(dim, use_bias=c.qkv_bias, name="v_proj", **kw)
+        else:
+            self.qkv = nn.Dense(dim * 3, use_bias=False, name="qkv", **kw)
+            if c.qkv_bias:
+                self.q_bias = self.param("q_bias", nn.initializers.zeros, (dim,), jnp.float32)
+                self.v_bias = self.param("v_bias", nn.initializers.zeros, (dim,), jnp.float32)
+        self.inner_attn_ln = (
+            _layer_norm("inner_attn_ln", c.ln_eps) if c.subln else None
+        )
+        self.proj = nn.Dense(dim, name="proj", **kw)
+
+    def _qkv(self, x: jnp.ndarray):
+        c = self.cfg
+        if c.subln:
+            q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
+        else:
+            qkv = self.qkv(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if c.qkv_bias:
+                q = q + self.q_bias.astype(q.dtype)
+                v = v + self.v_bias.astype(v.dtype)
+        b, n, _ = q.shape
+        h = c.num_heads
+        d = c.head_width
+        return (t.reshape(b, n, h, d) for t in (q, k, v))
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        grid_hw: Optional[tuple[int, int]] = None,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        q, k, v = self._qkv(x)
+        if c.rope and grid_hw is not None:
+            gh, gw = grid_hw
+            # rotate patch tokens only; CLS (index 0) is left untouched
+            q = jnp.concatenate(
+                [q[:, :1], apply_rope(q[:, 1:], gh, gw, c.pt_hw_seq_len)], axis=1
+            )
+            k = jnp.concatenate(
+                [k[:, :1], apply_rope(k[:, 1:], gh, gw, c.pt_hw_seq_len)], axis=1
+            )
+        scale = c.head_width ** -0.5
+        out = multi_head_attention(q, k, v, scale, mask=mask, impl=self.attn_impl)
+        b, n = x.shape[:2]
+        out = out.reshape(b, n, c.width)
+        if self.inner_attn_ln is not None:
+            out = self.inner_attn_ln(out).astype(self.dtype)
+        return self.proj(out)
+
+    def value_path(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The attention branch without token mixing: v-projection + inner LN
+        + output projection (reference `proj_without_attn`,
+        `eva_vit_model.py:249-256`)."""
+        c = self.cfg
+        if c.subln:
+            v = self.v_proj(x)
+        else:
+            v = self.qkv(x)[..., 2 * c.width :]
+            if c.qkv_bias:
+                v = v + self.v_bias.astype(v.dtype)
+        if self.inner_attn_ln is not None:
+            v = self.inner_attn_ln(v).astype(self.dtype)
+        return self.proj(v)
+
+
+class SwiGLU(nn.Module):
+    cfg: VisionConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        hidden = int(c.width * c.mlp_ratio)
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        self.w1 = nn.Dense(hidden, name="w1", **kw)
+        self.w2 = nn.Dense(hidden, name="w2", **kw)
+        self.ffn_ln = _layer_norm("ffn_ln", c.ln_eps) if c.subln else None
+        self.w3 = nn.Dense(c.width, name="w3", **kw)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.silu(self.w1(x)) * self.w2(x)
+        if self.ffn_ln is not None:
+            h = self.ffn_ln(h).astype(self.dtype)
+        return self.w3(h)
+
+
+class Mlp(nn.Module):
+    """Plain GELU MLP (EVA01-style configs without naiveswiglu)."""
+
+    cfg: VisionConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        hidden = int(c.width * c.mlp_ratio)
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        self.fc1 = nn.Dense(hidden, name="fc1", **kw)
+        self.ffn_ln = _layer_norm("ffn_ln", c.ln_eps) if c.subln else None
+        self.fc2 = nn.Dense(c.width, name="fc2", **kw)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.gelu(self.fc1(x), approximate=False)
+        if self.ffn_ln is not None:
+            h = self.ffn_ln(h).astype(self.dtype)
+        return self.fc2(h)
+
+
+class EvaBlock(nn.Module):
+    cfg: VisionConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        c = self.cfg
+        self.norm1 = _layer_norm("norm1", c.ln_eps)
+        self.attn = EvaAttention(c, dtype=self.dtype, attn_impl=self.attn_impl, name="attn")
+        self.norm2 = _layer_norm("norm2", c.ln_eps)
+        mlp_cls = SwiGLU if c.naiveswiglu else Mlp
+        self.mlp = mlp_cls(c, dtype=self.dtype, name="mlp")
+        if c.ls_init_value is not None:
+            init = nn.initializers.constant(c.ls_init_value)
+            self.gamma_1 = self.param("gamma_1", init, (c.width,), jnp.float32)
+            self.gamma_2 = self.param("gamma_2", init, (c.width,), jnp.float32)
+
+    def _scaled(self, y: jnp.ndarray, which: int) -> jnp.ndarray:
+        if self.cfg.ls_init_value is None:
+            return y
+        g = self.gamma_1 if which == 1 else self.gamma_2
+        return y * g.astype(y.dtype)
+
+    def __call__(self, x, grid_hw=None, mask=None):
+        c = self.cfg
+        if c.postnorm:
+            x = x + self._scaled(
+                self.norm1(self.attn(x, grid_hw=grid_hw, mask=mask)).astype(self.dtype), 1
+            )
+            x = x + self._scaled(self.norm2(self.mlp(x)).astype(self.dtype), 2)
+        else:
+            x = x + self._scaled(
+                self.attn(self.norm1(x).astype(self.dtype), grid_hw=grid_hw, mask=mask), 1
+            )
+            x = x + self._scaled(self.mlp(self.norm2(x).astype(self.dtype)), 2)
+        return x
+
+    def forward_without_attn(self, x):
+        """Final-block value path (reference `forward_without_attn`,
+        `eva_vit_model.py:317-332`)."""
+        c = self.cfg
+        if c.postnorm:
+            x = x + self._scaled(self.norm1(self.attn.value_path(x)).astype(self.dtype), 1)
+            x = x + self._scaled(self.norm2(self.mlp(x)).astype(self.dtype), 2)
+        else:
+            x = x + self._scaled(self.attn.value_path(self.norm1(x).astype(self.dtype)), 1)
+            x = x + self._scaled(self.mlp(self.norm2(x).astype(self.dtype)), 2)
+        return x
+
+
+class EvaViT(nn.Module):
+    cfg: VisionConfig
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    def setup(self):
+        c = self.cfg
+        self.patch_embed = nn.Conv(
+            c.width,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="patch_embed",
+        )
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, c.width), jnp.float32
+        )
+        base = c.grid_size
+        self.pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, base * base + 1, c.width),
+            jnp.float32,
+        )
+        block_cls = EvaBlock
+        if self.remat:
+            block_cls = nn.remat(
+                EvaBlock,
+                static_argnums=(2,),
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+        self.blocks = [
+            block_cls(c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}")
+            for i in range(c.layers)
+        ]
+        self.norm = _layer_norm("norm", c.ln_eps)
+        self.head = nn.Dense(
+            self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32, name="head"
+        )
+
+    # ---- embedding ----------------------------------------------------
+
+    def _resized_pos_embed(self, grid_hw: tuple[int, int]) -> jnp.ndarray:
+        """Bicubic-resize the absolute pos-embed grid to the input grid
+        (reference `rescale_positional_embedding`, `eva_vit_model.py:631-643`)."""
+        c = self.cfg
+        base = c.grid_size
+        gh, gw = grid_hw
+        pe = self.pos_embed
+        if (gh, gw) == (base, base):
+            return pe
+        cls_pe = pe[:, :1]
+        grid_pe = pe[:, 1:].reshape(1, base, base, c.width)
+        grid_pe = jnp.moveaxis(grid_pe, -1, 1)  # [1, width, base, base]
+        grid_pe = resize_2d(grid_pe, (gh, gw), method="bicubic")
+        grid_pe = jnp.moveaxis(grid_pe, 1, -1).reshape(1, gh * gw, c.width)
+        return jnp.concatenate([cls_pe, grid_pe], axis=1)
+
+    def embed(self, x: jnp.ndarray) -> tuple[jnp.ndarray, tuple[int, int]]:
+        """Patchify [B, H, W, 3] -> tokens [B, 1 + h*w, width] with CLS+pos."""
+        c = self.cfg
+        b, img_h, img_w, _ = x.shape
+        gh, gw = img_h // c.patch_size, img_w // c.patch_size
+        t = self.patch_embed(x.astype(self.dtype))  # [B, gh, gw, width]
+        t = t.reshape(b, gh * gw, c.width)
+        cls = jnp.broadcast_to(self.cls_token.astype(self.dtype), (b, 1, c.width))
+        t = jnp.concatenate([cls, t], axis=1)
+        t = t + self._resized_pos_embed((gh, gw)).astype(self.dtype)
+        return t, (gh, gw)
+
+    # ---- public protocol ----------------------------------------------
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Image embedding from the CLS token (reference `forward` +
+        `forward_features`, `eva_vit_model.py:533-586`)."""
+        t, grid = self.embed(x)
+        for blk in self.blocks:
+            t = blk(t, grid, None)
+        t = self.norm(t).astype(self.dtype)
+        return self.head(t[:, 0])
+
+    def encode_dense(self, x: jnp.ndarray, keep_shape: bool = True) -> jnp.ndarray:
+        """Dense patch-token feature map: blocks[:-1] normally, final block
+        without attention, drop CLS, norm + head, L2-normalize
+        (reference `encode_dense`, `eva_vit_model.py:588-623`).
+
+        Returns [B, gh, gw, C] if keep_shape else [B, gh*gw, C].
+        """
+        t, grid = self.embed(x)
+        for blk in self.blocks[:-1]:
+            t = blk(t, grid, None)
+        t = self.blocks[-1].forward_without_attn(t)[:, 1:]
+        t = self.norm(t).astype(self.dtype)
+        t = self.head(t)
+        t = t / (jnp.linalg.norm(t.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12).astype(
+            t.dtype
+        )
+        if keep_shape:
+            b = x.shape[0]
+            gh, gw = grid
+            return t.reshape(b, gh, gw, -1)
+        return t
+
+    def extract_roi_features(self, x: jnp.ndarray, normed_boxes: jnp.ndarray) -> jnp.ndarray:
+        """RoI features by 1x1 aligned RoI-align over the dense map
+        (reference `extract_roi_features`, `eva_vit_model.py:625-629`).
+
+        Args:
+          normed_boxes: [B, M, 4] xyxy normalized to [0, 1] (padded rows OK).
+        Returns [B, M, C].
+        """
+        dense = self.encode_dense(x, keep_shape=True)
+        _, gh, gw, _ = dense.shape
+        boxes = denormalize_boxes(normed_boxes, gh, gw)
+        return roi_align_1x1(dense, boxes)
+
+    def mask_pool(self, x: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+        """Masked average of normalized dense tokens (reference `mask_pool`,
+        `eva_vit_model.py:645-653`). masks: [B, M, gh, gw]."""
+        dense = self.encode_dense(x, keep_shape=True)
+        return mask_pool(dense, masks)
+
+    def encode_rois_and_image(
+        self, x: jnp.ndarray, normed_boxes: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """RoI features and the global image feature from ONE trunk pass
+        (reference `encode_rois_and_image`, `eva_vit_model.py:666-711`).
+
+        Returns ([B, M, C] L2-normalized roi feats, [B, C] normalized image).
+        """
+        t, grid = self.embed(x)
+        for blk in self.blocks[:-1]:
+            t = blk(t, grid, None)
+        # image branch: full final block + CLS head
+        ti = self.blocks[-1](t, grid, None)
+        ti = self.norm(ti).astype(self.dtype)
+        x_image = self.head(ti[:, 0])
+        x_image = x_image / (
+            jnp.linalg.norm(x_image.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12
+        ).astype(x_image.dtype)
+        # dense branch: final block value path
+        td = self.blocks[-1].forward_without_attn(t)[:, 1:]
+        td = self.norm(td).astype(self.dtype)
+        td = self.head(td)
+        td = td / (
+            jnp.linalg.norm(td.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12
+        ).astype(td.dtype)
+        b = x.shape[0]
+        gh, gw = grid
+        dense = td.reshape(b, gh, gw, -1)
+        boxes = denormalize_boxes(normed_boxes, gh, gw)
+        rois = roi_align_1x1(dense, boxes)
+        rois = rois / (
+            jnp.linalg.norm(rois.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12
+        ).astype(rois.dtype)
+        return rois, x_image

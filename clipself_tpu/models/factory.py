@@ -1,0 +1,59 @@
+"""Model creation: config registry -> Flax module + initialized params.
+
+TPU-native replacement for the reference factories
+(`src/open_clip/factory.py:111-249`, `src/open_clip/eva_clip/factory.py:211-355`):
+a pure function returning (module, params). Pretrained weights load through
+`clipself_tpu.models.torch_io` (PyTorch `.pt` interop) or Orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from clipself_tpu.core.config import CLIPConfig, get_model_config
+from clipself_tpu.models.clip import CLIP
+
+
+def create_model(
+    name_or_cfg: str | CLIPConfig,
+    *,
+    dtype: Any = jnp.bfloat16,
+    attn_impl: str = "auto",
+    remat: bool = False,
+    pretrained: Optional[str] = None,
+    seed: int = 0,
+    init: bool = True,
+):
+    """Build a CLIP module and (optionally) its parameters.
+
+    Args:
+      name_or_cfg: registry name (e.g. 'EVA02-CLIP-B-16') or a CLIPConfig.
+      dtype: activation/compute dtype (params are always float32).
+      pretrained: path to a PyTorch `.pt` checkpoint (EVA format) or an Orbax
+        checkpoint directory; positional embeddings are resized on load.
+      init: if False, return (module, None) without initializing params.
+
+    Returns:
+      (module, params) — params is a FrozenDict pytree or None.
+    """
+    cfg = get_model_config(name_or_cfg) if isinstance(name_or_cfg, str) else name_or_cfg
+    model = CLIP(cfg, dtype=dtype, attn_impl=attn_impl, remat=remat)
+    if not init and pretrained is None:
+        return model, None
+
+    def _init():
+        rng = jax.random.PRNGKey(seed)
+        img = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3), dtype)
+        txt = jnp.zeros((1, cfg.text.context_length), jnp.int32)
+        return model.init(rng, img, txt)["params"]
+
+    params = jax.eval_shape(_init) if pretrained else jax.jit(_init)()
+
+    if pretrained:
+        from clipself_tpu.models.torch_io import load_pretrained
+
+        params = load_pretrained(pretrained, params, cfg)
+    return model, params

@@ -1,0 +1,104 @@
+"""CLIP text transformer in Flax (frozen in every shipped recipe).
+
+Layout parity with the reference text tower
+(`src/open_clip/eva_clip/transformer.py:642-742`): token embedding + learned
+positional embedding, pre-LN residual blocks with packed QKV projections and
+GELU MLPs, causal attention mask, final LN, and the EOT-token (argmax of the
+token ids) pooled embedding projected by `text_projection`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from clipself_tpu.core.config import TextConfig
+from clipself_tpu.ops.attention import multi_head_attention
+
+Dtype = Any
+
+
+def _layer_norm(name: str, eps: float):
+    return nn.LayerNorm(epsilon=eps, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+
+
+class TextBlock(nn.Module):
+    cfg: TextConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        self.ln_1 = _layer_norm("ln_1", c.ln_eps)
+        self.in_proj = nn.Dense(3 * c.width, name="in_proj", **kw)
+        self.out_proj = nn.Dense(c.width, name="out_proj", **kw)
+        self.ln_2 = _layer_norm("ln_2", c.ln_eps)
+        self.c_fc = nn.Dense(4 * c.width, name="c_fc", **kw)
+        self.c_proj = nn.Dense(c.width, name="c_proj", **kw)
+
+    def _attention(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        b, n, _ = x.shape
+        h = c.heads
+        d = c.width // h
+        q, k, v = jnp.split(self.in_proj(x), 3, axis=-1)
+        q = q.reshape(b, n, h, d)
+        k = k.reshape(b, n, h, d)
+        v = v.reshape(b, n, h, d)
+        out = multi_head_attention(q, k, v, d ** -0.5, mask=mask, impl="xla")
+        return self.out_proj(out.reshape(b, n, c.width))
+
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        x = x + self._attention(self.ln_1(x).astype(self.dtype), mask)
+        h = nn.gelu(self.c_fc(self.ln_2(x).astype(self.dtype)), approximate=False)
+        x = x + self.c_proj(h)
+        return x
+
+
+class TextTransformer(nn.Module):
+    cfg: TextConfig
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.token_embedding = nn.Embed(
+            c.vocab_size, c.width, param_dtype=jnp.float32, name="token_embedding"
+        )
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (c.context_length, c.width),
+            jnp.float32,
+        )
+        self.blocks = [
+            TextBlock(c, dtype=self.dtype, name=f"resblocks_{i}") for i in range(c.layers)
+        ]
+        self.ln_final = _layer_norm("ln_final", c.ln_eps)
+        self.text_projection = self.param(
+            "text_projection",
+            nn.initializers.normal(c.width ** -0.5),
+            (c.width, self.embed_dim),
+            jnp.float32,
+        )
+
+    def __call__(self, text: jnp.ndarray) -> jnp.ndarray:
+        """text: [B, ctx] int32 token ids -> [B, embed_dim] (not normalized)."""
+        c = self.cfg
+        x = self.token_embedding(text).astype(self.dtype)
+        x = x + self.positional_embedding.astype(self.dtype)
+        n = text.shape[1]
+        if c.attn_mask:
+            causal = jnp.triu(jnp.full((n, n), -jnp.inf, dtype=jnp.float32), k=1)
+            mask = causal[None, None]
+        else:
+            mask = None
+        for blk in self.blocks:
+            x = blk(x, mask)
+        x = self.ln_final(x).astype(self.dtype)
+        # pool at the EOT token = the highest token id position
+        eot = jnp.argmax(text, axis=-1)
+        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        return pooled @ self.text_projection.astype(pooled.dtype)

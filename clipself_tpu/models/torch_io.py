@@ -1,0 +1,256 @@
+"""PyTorch checkpoint interop: import EVA `.pt` weights into Flax params and
+export Flax params back to the reference's PyTorch state-dict layout.
+
+Import semantics follow the reference loader's probing rules
+(`src/open_clip/eva_clip/factory.py:80-129`): unwrap `state_dict|model|module`
+containers, strip `module.` prefixes, drop RoPE frequency buffers (we
+recompute them analytically), and bicubic-resize absolute positional
+embeddings when the checkpoint grid differs from the model grid.
+
+The export path produces a state dict keyed exactly like the reference's
+`CustomCLIP`, so distilled checkpoints remain consumable by the PyTorch
+F-ViT stack.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+
+from clipself_tpu.core.config import CLIPConfig
+from clipself_tpu.ops.interpolate import resize_weight_matrix
+
+
+# ---------------------------------------------------------------------------
+# key mapping
+
+
+def _vision_key_map(flax_key: tuple[str, ...], cfg: CLIPConfig):
+    """Map a flax param path under `visual` to (torch_key, transform).
+
+    transform: 'linear' (transpose 2D), 'conv' (OIHW->HWIO), None (verbatim).
+    """
+    k = list(flax_key)
+    if k == ["patch_embed", "kernel"]:
+        return "visual.patch_embed.proj.weight", "conv"
+    if k == ["patch_embed", "bias"]:
+        return "visual.patch_embed.proj.bias", None
+    if k == ["cls_token"]:
+        return "visual.cls_token", None
+    if k == ["pos_embed"]:
+        return "visual.pos_embed", None
+    if k == ["norm", "scale"]:
+        return "visual.norm.weight", None
+    if k == ["norm", "bias"]:
+        return "visual.norm.bias", None
+    if k == ["head", "kernel"]:
+        return "visual.head.weight", "linear"
+    if k == ["head", "bias"]:
+        return "visual.head.bias", None
+    m = re.match(r"blocks_(\d+)", k[0])
+    if m:
+        i = m.group(1)
+        rest = k[1:]
+        base = f"visual.blocks.{i}"
+        ln = {"scale": "weight", "bias": "bias"}
+        if rest[0] in ("norm1", "norm2"):
+            return f"{base}.{rest[0]}.{ln[rest[1]]}", None
+        if rest[0] == "attn":
+            sub = rest[1]
+            if sub in ("q_proj", "k_proj", "v_proj"):
+                if rest[2] == "kernel":
+                    return f"{base}.attn.{sub}.weight", "linear"
+                # torch stores q/v biases as standalone parameters
+                return f"{base}.attn.{sub[0]}_bias", None
+            if sub == "qkv":
+                return f"{base}.attn.qkv.weight", "linear"
+            if sub in ("q_bias", "v_bias"):
+                return f"{base}.attn.{sub}", None
+            if sub == "inner_attn_ln":
+                return f"{base}.attn.inner_attn_ln.{ln[rest[2]]}", None
+            if sub == "proj":
+                t = "linear" if rest[2] == "kernel" else None
+                return f"{base}.attn.proj.{'weight' if t else 'bias'}", t
+        if rest[0] == "mlp":
+            sub = rest[1]
+            if sub == "ffn_ln":
+                return f"{base}.mlp.ffn_ln.{ln[rest[2]]}", None
+            t = "linear" if rest[2] == "kernel" else None
+            return f"{base}.mlp.{sub}.{'weight' if t else 'bias'}", t
+        if rest[0] in ("gamma_1", "gamma_2"):
+            return f"{base}.{rest[0]}", None
+    raise KeyError(f"unmapped vision param: {flax_key}")
+
+
+def _text_key_map(flax_key: tuple[str, ...]):
+    k = list(flax_key)
+    if k == ["token_embedding", "embedding"]:
+        return "text.token_embedding.weight", None
+    if k == ["positional_embedding"]:
+        return "text.positional_embedding", None
+    if k == ["text_projection"]:
+        return "text.text_projection", None
+    if k == ["ln_final", "scale"]:
+        return "text.ln_final.weight", None
+    if k == ["ln_final", "bias"]:
+        return "text.ln_final.bias", None
+    m = re.match(r"resblocks_(\d+)", k[0])
+    if m:
+        i = m.group(1)
+        rest = k[1:]
+        base = f"text.transformer.resblocks.{i}"
+        ln = {"scale": "weight", "bias": "bias"}
+        if rest[0] in ("ln_1", "ln_2"):
+            return f"{base}.{rest[0]}.{ln[rest[1]]}", None
+        if rest[0] == "in_proj":
+            if rest[1] == "kernel":
+                return f"{base}.attn.in_proj_weight", "linear"
+            return f"{base}.attn.in_proj_bias", None
+        if rest[0] == "out_proj":
+            t = "linear" if rest[1] == "kernel" else None
+            return f"{base}.attn.out_proj.{'weight' if t else 'bias'}", t
+        if rest[0] in ("c_fc", "c_proj"):
+            t = "linear" if rest[1] == "kernel" else None
+            return f"{base}.mlp.{rest[0]}.{'weight' if t else 'bias'}", t
+    raise KeyError(f"unmapped text param: {flax_key}")
+
+
+def flax_to_torch_key(flax_key: tuple[str, ...], cfg: CLIPConfig):
+    if flax_key[0] == "visual":
+        return _vision_key_map(tuple(flax_key[1:]), cfg)
+    if flax_key[0] == "text":
+        return _text_key_map(tuple(flax_key[1:]))
+    if flax_key == ("logit_scale",):
+        return "logit_scale", None
+    raise KeyError(f"unmapped param: {flax_key}")
+
+
+# ---------------------------------------------------------------------------
+# state-dict plumbing
+
+
+def _flatten(tree: Any, prefix=()) -> dict[tuple[str, ...], Any]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _unflatten(flat: dict[tuple[str, ...], Any]) -> dict:
+    out: dict = {}
+    for path, v in flat.items():
+        node = out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return out
+
+
+def unwrap_state_dict(sd: dict) -> dict:
+    """Probe nested containers and strip `module.` prefixes
+    (reference `eva_clip/factory.py:80-106`)."""
+    for key in ("state_dict", "model", "module"):
+        if key in sd and isinstance(sd[key], dict):
+            sd = sd[key]
+    if any(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
+    # drop RoPE frequency buffers — recomputed analytically on our side
+    sd = {k: v for k, v in sd.items() if "rope.freqs" not in k and ".rope." not in k}
+    sd = {k: v for k, v in sd.items() if not k.endswith(("freqs_cos", "freqs_sin", "rope.flag"))}
+    return sd
+
+
+def resize_pos_embed_np(pe: np.ndarray, tgt_tokens: int) -> np.ndarray:
+    """Bicubic-resize a [1, 1+S^2, D] pos-embed to [1, tgt_tokens, D]
+    (reference `resize_evaclip_pos_embed`, `eva_clip/utils.py:78-139`)."""
+    if pe.shape[1] == tgt_tokens:
+        return pe
+    src = int(round((pe.shape[1] - 1) ** 0.5))
+    tgt = int(round((tgt_tokens - 1) ** 0.5))
+    cls_pe = pe[:, :1]
+    grid = pe[:, 1:].reshape(src, src, -1).astype(np.float32)
+    w = resize_weight_matrix(src, tgt, "bicubic")
+    grid = np.einsum("oh,hwd->owd", w, grid)
+    grid = np.einsum("pw,owd->opd", w, grid)
+    return np.concatenate([cls_pe, grid.reshape(1, tgt * tgt, -1)], axis=1)
+
+
+def import_state_dict(sd: dict, params: Any, cfg: CLIPConfig, strict: bool = False) -> Any:
+    """Fill a Flax param pytree from a (numpy-valued) torch state dict.
+
+    Missing keys keep their initialized values when strict=False (parity with
+    the reference's `strict=False` load, `eva_clip/factory.py:283-289`).
+    """
+    sd = unwrap_state_dict(sd)
+    flat = _flatten(params)
+    used = set()
+    new_flat = {}
+    for path, init_val in flat.items():
+        try:
+            tkey, transform = flax_to_torch_key(path, cfg)
+        except KeyError:
+            if strict:
+                raise
+            new_flat[path] = init_val
+            continue
+        if tkey not in sd:
+            if strict:
+                raise KeyError(f"checkpoint missing {tkey}")
+            new_flat[path] = init_val
+            continue
+        arr = np.asarray(sd[tkey], dtype=np.float32)
+        used.add(tkey)
+        if transform == "linear":
+            arr = arr.T
+        elif transform == "conv":
+            arr = arr.transpose(2, 3, 1, 0)
+        if tkey == "visual.pos_embed":
+            arr = resize_pos_embed_np(arr, init_val.shape[1])
+        if arr.shape != tuple(init_val.shape):
+            raise ValueError(f"shape mismatch for {tkey}: ckpt {arr.shape} vs model {init_val.shape}")
+        new_flat[path] = arr
+    return _unflatten(new_flat)
+
+
+def export_state_dict(params: Any, cfg: CLIPConfig) -> dict[str, np.ndarray]:
+    """Flax params -> reference-layout numpy state dict (for F-ViT interop)."""
+    flat = _flatten(params)
+    out = {}
+    for path, val in flat.items():
+        tkey, transform = flax_to_torch_key(path, cfg)
+        arr = np.asarray(val, dtype=np.float32)
+        if transform == "linear":
+            arr = arr.T
+        elif transform == "conv":
+            arr = arr.transpose(3, 2, 0, 1)
+        out[tkey] = arr
+    return out
+
+
+def load_pretrained(path: str, params: Any, cfg: CLIPConfig) -> Any:
+    """Load a `.pt` torch checkpoint (or a `.npz` of the same key layout)."""
+    if path.endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        raw = unwrap_state_dict(raw)
+        sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in raw.items()}
+    return import_state_dict(sd, params, cfg)
+
+
+def save_torch_checkpoint(path: str, params: Any, cfg: CLIPConfig, meta: dict | None = None):
+    """Write a PyTorch-loadable checkpoint in the reference layout
+    (consumable by the F-ViT detector stack)."""
+    import torch
+
+    sd = {k: torch.from_numpy(v.copy()) for k, v in export_state_dict(params, cfg).items()}
+    payload = dict(meta or {})
+    payload["state_dict"] = sd
+    torch.save(payload, path)

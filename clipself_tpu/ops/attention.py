@@ -1,0 +1,125 @@
+"""Multi-head attention dispatcher.
+
+The reference leans on xformers' CUDA `memory_efficient_attention` for every
+EVA block (`src/open_clip/eva_clip/eva_vit_model.py:206-220`). On TPU the
+equivalents are (a) a Pallas flash-attention kernel for long sequences and
+(b) plain XLA einsum attention (fused by Mosaic/XLA) for short ones.
+
+This module exposes one functional entry point used by all models; the
+implementation is chosen by sequence length and platform, and can be forced
+for testing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Minimum query length for which the Pallas flash kernel pays off.
+_FLASH_MIN_SEQ = 1024
+
+
+def _xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Reference XLA attention. q,k,v: [B, N, H, D]; mask: additive [..., N, N]."""
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _flash_available() -> bool:
+    try:
+        import jax.experimental.pallas.ops.tpu.flash_attention  # noqa: F401
+    except Exception:  # pragma: no cover
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.named_call, name="flash_attention")
+def _pallas_flash(q, k, v, scale):
+    """Bundled TPU flash-attention kernel; q,k,v: [B, H, N, D].
+
+    Sequence lengths that aren't multiples of the kernel block size are
+    zero-padded; padded KEYS are masked via a large negative bias on padded
+    logits using the kernel's `ab` bias argument. Padded queries produce
+    garbage rows that the caller slices off.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    b, h, n, d = q.shape
+    block = 512 if n >= 512 else 128
+    pad = (-n) % block
+    if pad:
+        zq = jnp.zeros((b, h, pad, d), q.dtype)
+        q = jnp.concatenate([q, zq], axis=2)
+        k = jnp.concatenate([k, zq], axis=2)
+        v = jnp.concatenate([v, zq], axis=2)
+        # additive bias: mask padded keys for all queries
+        npad = n + pad
+        key_ok = (jnp.arange(npad) < n).astype(jnp.float32)
+        ab = jnp.broadcast_to(
+            jnp.where(key_ok, 0.0, -1e9)[None, None, None, :], (b, h, npad, npad)
+        )
+    else:
+        ab = None
+    block_sizes = BlockSizes(
+        block_q=block,
+        block_k_major=block,
+        block_k=block,
+        block_b=1,
+        block_q_major_dkv=block,
+        block_k_major_dkv=block,
+        block_k_dkv=block,
+        block_q_dkv=block,
+        block_k_major_dq=block,
+        block_k_dq=block,
+        block_q_dq=block,
+    )
+    out = flash_attention(q, k, v, ab=ab, sm_scale=scale, block_sizes=block_sizes)
+    if pad:
+        out = out[:, :, :n, :]
+    return out
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Scaled dot-product attention over [B, N, H, D] tensors.
+
+    Args:
+      mask: optional additive bias broadcastable to [B, H, N, N] (used for the
+        causal text mask and mask-attention pooling).
+      impl: 'auto' | 'xla' | 'flash'.
+    """
+    n = q.shape[1]
+    if impl == "auto":
+        use_flash = mask is None and n >= _FLASH_MIN_SEQ and _flash_available()
+    else:
+        use_flash = impl == "flash"
+    if use_flash:
+        qt = jnp.swapaxes(q, 1, 2)  # [B, H, N, D]
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        out = _pallas_flash(qt, kt, vt, scale)
+        return jnp.swapaxes(out, 1, 2)
+    return _xla_attention(q, k, v, scale, mask)

@@ -1,0 +1,131 @@
+"""Model-level tests on the tiny config: shapes, protocol invariants,
+variable resolution, jit consistency, and torch checkpoint roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipself_tpu.core.config import get_model_config
+from clipself_tpu.models.factory import create_model
+
+CFG = get_model_config("EVA02-CLIP-Tiny-Test")
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model, params = create_model(CFG, dtype=jnp.float32, seed=0)
+    return model, params
+
+
+def test_encode_image_text_shapes(model_and_params):
+    model, params = model_and_params
+    img = jnp.ones((2, 32, 32, 3), jnp.float32)
+    txt = jnp.array([[1, 5, 3, 0] + [0] * 12, [2, 9, 1, 0] + [0] * 12], jnp.int32)
+    feats = model.apply({"params": params}, img, method="encode_image")
+    assert feats.shape == (2, CFG.embed_dim)
+    tfeats = model.apply({"params": params}, txt, method="encode_text")
+    assert tfeats.shape == (2, CFG.embed_dim)
+
+
+def test_encode_dense_normalized(model_and_params):
+    model, params = model_and_params
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32)
+    dense = model.apply({"params": params}, img, keep_shape=True, method="encode_dense")
+    assert dense.shape == (2, 4, 4, CFG.embed_dim)
+    norms = np.linalg.norm(np.asarray(dense), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_full_box_roi_equals_mask_pool(model_and_params):
+    """RoI-align with a full-image box must equal mask-pool with all-ones mask
+    (both are the plain mean of the dense map)."""
+    model, params = model_and_params
+    img = jnp.asarray(np.random.default_rng(1).normal(size=(1, 32, 32, 3)), jnp.float32)
+    boxes = jnp.asarray([[[0.0, 0.0, 1.0, 1.0]]])
+    rois = model.apply({"params": params}, img, boxes, method="encode_pseudo_boxes")
+    masks = jnp.ones((1, 1, 4, 4), jnp.float32)
+    pooled = model.apply({"params": params}, img, masks, False, method="encode_masks")
+    np.testing.assert_allclose(np.asarray(rois), np.asarray(pooled), rtol=1e-4, atol=1e-5)
+
+
+def test_variable_resolution(model_and_params):
+    """224-style pretraining grid consumed at a larger resolution: pos-embed
+    resize + RoPE table rebuild must kick in without errors."""
+    model, params = model_and_params
+    img = jnp.asarray(np.random.default_rng(2).normal(size=(1, 64, 64, 3)), jnp.float32)
+    dense = model.apply({"params": params}, img, keep_shape=True, method="encode_dense")
+    assert dense.shape == (1, 8, 8, CFG.embed_dim)
+    feats = model.apply({"params": params}, img, method="encode_image")
+    assert feats.shape == (1, CFG.embed_dim)
+
+
+def test_rois_and_image_consistency(model_and_params):
+    model, params = model_and_params
+    img = jnp.asarray(np.random.default_rng(3).normal(size=(1, 32, 32, 3)), jnp.float32)
+    boxes = jnp.asarray([[[0.1, 0.1, 0.8, 0.9], [0.0, 0.0, 1.0, 1.0]]])
+    rois, x_image = model.apply({"params": params}, img, boxes, method="encode_rois_and_image")
+    img_direct = model.apply({"params": params}, img, True, method="encode_image")
+    np.testing.assert_allclose(np.asarray(x_image), np.asarray(img_direct), rtol=1e-4, atol=1e-5)
+    rois_direct = model.apply(
+        {"params": params}, img, boxes, True, method="encode_pseudo_boxes"
+    )
+    np.testing.assert_allclose(np.asarray(rois), np.asarray(rois_direct), rtol=1e-4, atol=1e-5)
+
+
+def test_jit_consistency(model_and_params):
+    model, params = model_and_params
+    img = jnp.asarray(np.random.default_rng(4).normal(size=(1, 32, 32, 3)), jnp.float32)
+
+    def f(p, x):
+        return model.apply({"params": p}, x, method="encode_image")
+
+    eager = f(params, img)
+    jitted = jax.jit(f)(params, img)
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), rtol=1e-5, atol=1e-5)
+
+
+def test_text_eot_pooling(model_and_params):
+    """Pooled text feature must come from the argmax-token position: changing
+    a token AFTER the EOT position must not change the embedding."""
+    model, params = model_and_params
+    txt1 = jnp.array([[1, 5, 100, 2, 0, 0] + [0] * 10], jnp.int32)  # EOT=100 at pos 2
+    txt2 = txt1.at[0, 4].set(7)  # change a token after EOT
+    f1 = model.apply({"params": params}, txt1, method="encode_text")
+    f2 = model.apply({"params": params}, txt2, method="encode_text")
+    # positions after EOT still feed attention of earlier tokens? No: causal
+    # mask means position 2 only sees 0..2, so the pooled feature is invariant.
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-5, atol=1e-6)
+
+
+def test_torch_roundtrip(model_and_params, tmp_path):
+    torch = pytest.importorskip("torch")
+    from clipself_tpu.models.torch_io import load_pretrained, save_torch_checkpoint
+
+    model, params = model_and_params
+    path = str(tmp_path / "ckpt.pt")
+    save_torch_checkpoint(path, params, CFG, meta={"epoch": 3})
+    # perturb params, then reload: must recover the originals exactly
+    perturbed = jax.tree.map(lambda x: x + 1.0, params)
+    restored = load_pretrained(path, perturbed, CFG)
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(restored)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_import_resizes_pos_embed(model_and_params):
+    """A checkpoint saved at a different grid must be bicubic-resized on load
+    (reference `resize_evaclip_pos_embed` behavior)."""
+    from clipself_tpu.models.torch_io import export_state_dict, import_state_dict
+
+    model, params = model_and_params
+    sd = export_state_dict(params, CFG)
+    base = CFG.vision.grid_size  # 4 for the tiny config
+    src = 8
+    rng = np.random.default_rng(5)
+    sd["visual.pos_embed"] = rng.normal(size=(1, src * src + 1, CFG.vision.width)).astype(
+        np.float32
+    )
+    loaded = import_state_dict(sd, params, CFG)
+    assert loaded["visual"]["pos_embed"].shape == (1, base * base + 1, CFG.vision.width)
