@@ -1,0 +1,97 @@
+"""Distillation throughput benchmark on the real chip.
+
+Measures the full jitted CLIPSelf train step — frozen EVA02-B/16 teacher
+encoding 20 crops/image @224 + trainable student dense encode @1024 (4097
+tokens) + RoI-align + cosine loss + AdamW — and reports images/sec/chip.
+
+Baseline anchor: the driver target of 2,000 images/sec on a v5e-8 slice
+(BASELINE.md), i.e. 250 images/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PER_CHIP = 250.0  # 2000 img/s on v5e-8 (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import get_model_config
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.train.methods import clipself_loss
+    from clipself_tpu.train.optim import build_optimizer, make_schedule
+    from clipself_tpu.train.step import TrainState, make_train_step
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "4"))
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "1024"))
+    crop_size = int(os.environ.get("BENCH_CROP_SIZE", "224"))
+    max_boxes = int(os.environ.get("BENCH_MAX_BOXES", "20"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+
+    cfg = get_model_config("EVA02-CLIP-B-16")
+    model, params = create_model(cfg, dtype=jnp.bfloat16, remat=remat)
+    teacher = jax.tree.map(jnp.copy, params)  # true copies: the step donates state.params, which must not alias the teacher
+
+    sched = make_schedule("cosine", 1e-5, warmup=100, total_steps=10000)
+    tx = build_optimizer(
+        params, sched, wd=0.1,
+        unlocked_groups=cfg.vision.layers, num_layers=cfg.vision.layers,
+    )
+    step = make_train_step(model, tx, clipself_loss, mesh=None)
+    state = TrainState.create(params, tx)
+
+    rng = np.random.default_rng(0)
+    b, m = batch_size, max_boxes
+    lo = rng.uniform(0, 0.5, size=(b, m, 2)).astype(np.float32)
+    hi = np.clip(lo + rng.uniform(0.05, 0.5, size=(b, m, 2)), 0, 1).astype(np.float32)
+    # NOTE: float32 numpy -> device_put is a pure buffer transfer; the model
+    # casts to bf16 on device (big f64 constants would blow the compile RPC).
+    batch = {
+        "images": jax.device_put(
+            rng.standard_normal((b, image_size, image_size, 3), dtype=np.float32)
+        ),
+        "boxes": jax.device_put(np.concatenate([lo, hi, np.ones((b, m, 1), np.float32)], -1)),
+        "crops": jax.device_put(
+            rng.standard_normal((b, m, crop_size, crop_size, 3), dtype=np.float32)
+        ),
+    }
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    state, metrics = step(state, teacher, batch, key)
+    print("warmup loss:", float(metrics["loss"]), file=sys.stderr)
+    state, metrics = step(state, teacher, batch, key)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, teacher, batch, key)
+    # fetching the value forces the full chain to complete
+    final_loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
+
+    imgs_per_sec = batch_size * steps / dt
+    result = {
+        "metric": "images/sec/chip, EVA02-B/16 CLIPSelf distill step (1024px, 20 crops)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_PER_CHIP, 4),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

@@ -1,0 +1,141 @@
+"""Zero-shot region classification: per-class mean accuracy on COCO-Panoptic.
+
+Reference semantics (`src/training/zero_shot.py:11-193`): for every panoptic
+val image, classify (a) RoI features, (b) mask-pooled features, (c) crop
+features against a fixed text-embedding matrix; report per-class mean top-1 /
+top-5 accuracy split by thing/stuff.
+
+TPU re-design: the reference runs batch-size 1 with ragged box lists
+(`data.py:484`); here batches are fixed-shape padded and any batch size
+works, with validity masks carried to the metric stage. Per-device results
+are gathered host-side (multihost gather hook for multi-process runs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _topk_correct(logits: np.ndarray, labels: np.ndarray, k: int = 5) -> np.ndarray:
+    """[N, K] logits, [N] labels -> [N, k] bool matrix of top-k hits
+    (column 0 is the argmax, matching the reference's correct matrix)."""
+    topk = np.argsort(-logits, axis=-1)[:, :k]
+    return topk == labels[:, None]
+
+
+def macc_with_is_thing(
+    correct: np.ndarray, is_thing: np.ndarray, labels: np.ndarray, prefix: str
+) -> dict:
+    """Per-class mean accuracy, thing/stuff x top1/top5
+    (reference `macc_with_is_thing`, `zero_shot.py:140-174`)."""
+
+    def _macc(corrects: np.ndarray, cls: np.ndarray) -> float:
+        if cls.size == 0:
+            return float("nan")
+        accs = []
+        for lb in range(int(cls.min()), int(cls.max()) + 1):
+            sel = corrects[cls == lb]
+            if sel.shape[0] == 0:
+                continue
+            accs.append(np.float16(sel.mean()).item())
+        return float(sum(accs) / max(len(accs), 1))
+
+    results = {}
+    for group, sel in (("thing", is_thing > 0), ("stuff", is_thing < 1)):
+        c = correct[sel]
+        lb = labels[sel].astype(np.int64)
+        results[f"{prefix}.{group}.macc1"] = _macc(c[:, 0], lb)
+        results[f"{prefix}.{group}.macc5"] = _macc(c.sum(-1) > 0, lb)
+    return results
+
+
+def evaluate_zero_shot(
+    model,
+    params,
+    dataloader,
+    embeddings: np.ndarray,
+    mesh=None,
+    image_ave_pool: bool = False,
+    gather_fn=None,
+    progress: bool = False,
+) -> dict:
+    """Run the full evaluator.
+
+    Args:
+      dataloader: yields dicts with images/boxes[...,8]/crops/gt_masks
+        (COCOPanopticEvalDataset batches).
+      embeddings: [num_classes, C] text classifier (will be L2-normalized).
+      gather_fn: optional cross-process gather (multihost); identity default.
+    """
+    emb = np.asarray(embeddings, np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12
+    emb_dev = jnp.asarray(emb)
+
+    @jax.jit
+    def batch_features(params, images, boxes4, crops, masks):
+        rois = model.apply({"params": params}, images, boxes4, True, method="encode_pseudo_boxes")
+        maskpool = model.apply({"params": params}, images, masks, True, method="encode_masks")
+        b, m = crops.shape[:2]
+        crop_flat = crops.reshape((b * m,) + crops.shape[2:])
+        if image_ave_pool:
+            dense = model.apply({"params": params}, crop_flat, True, True, method="encode_dense")
+            cf = dense.mean(axis=(1, 2))
+            cf = cf / (jnp.linalg.norm(cf.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12).astype(cf.dtype)
+        else:
+            cf = model.apply({"params": params}, crop_flat, True, method="encode_image")
+        crop_feats = cf.reshape(b, m, -1)
+        return (
+            (rois.astype(jnp.float32) @ emb_dev.T),
+            (crop_feats.astype(jnp.float32) @ emb_dev.T),
+            (maskpool.astype(jnp.float32) @ emb_dev.T),
+        )
+
+    acc = {k: [] for k in ("rois", "crops", "maskpool")}
+    all_labels, all_is_thing, all_sizes = [], [], []
+
+    it = dataloader
+    if progress:
+        from tqdm import tqdm
+
+        it = tqdm(dataloader)
+    for batch in it:
+        images = jnp.asarray(batch["images"])
+        boxes = np.asarray(batch["boxes"])
+        logits = batch_features(
+            params,
+            images,
+            jnp.asarray(boxes[..., :4]),
+            jnp.asarray(batch["crops"]),
+            jnp.asarray(batch["gt_masks"]),
+        )
+        valid = boxes[..., 5].reshape(-1) > 0.5
+        if valid.sum() == 0:
+            continue
+        labels = boxes[..., 4].reshape(-1)[valid].astype(np.int64)
+        for key, lg in zip(("rois", "crops", "maskpool"), logits):
+            lg = np.asarray(lg).reshape(-1, emb.shape[0])[valid]
+            acc[key].append(_topk_correct(lg, labels))
+        all_labels.append(labels)
+        all_is_thing.append(boxes[..., 7].reshape(-1)[valid])
+        all_sizes.append(boxes[..., 6].reshape(-1)[valid])
+
+    if not all_labels:
+        return {}
+
+    correct = {k: np.concatenate(v) for k, v in acc.items()}
+    labels = np.concatenate(all_labels)
+    is_thing = np.concatenate(all_is_thing)
+
+    if gather_fn is not None:
+        correct = {k: gather_fn(v) for k, v in correct.items()}
+        labels = gather_fn(labels)
+        is_thing = gather_fn(is_thing)
+
+    results = {}
+    for key in ("rois", "crops", "maskpool"):
+        results.update(macc_with_is_thing(correct[key], is_thing, labels, key))
+    return results

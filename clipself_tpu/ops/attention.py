@@ -52,12 +52,13 @@ def _pallas_flash(q, k, v, scale):
     """Bundled TPU flash-attention kernel; q,k,v: [B, H, N, D].
 
     Sequence lengths that aren't multiples of the kernel block size are
-    zero-padded; padded KEYS are masked via a large negative bias on padded
-    logits using the kernel's `ab` bias argument. Padded queries produce
-    garbage rows that the caller slices off.
+    zero-padded; padding is masked with segment ids (real tokens = segment 1,
+    padding = segment 0), which the kernel applies blockwise — no O(N^2) bias
+    tensor. Padded query rows are sliced off afterwards.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
+        SegmentIds,
         flash_attention,
     )
 
@@ -69,14 +70,12 @@ def _pallas_flash(q, k, v, scale):
         q = jnp.concatenate([q, zq], axis=2)
         k = jnp.concatenate([k, zq], axis=2)
         v = jnp.concatenate([v, zq], axis=2)
-        # additive bias: mask padded keys for all queries
         npad = n + pad
-        key_ok = (jnp.arange(npad) < n).astype(jnp.float32)
-        ab = jnp.broadcast_to(
-            jnp.where(key_ok, 0.0, -1e9)[None, None, None, :], (b, h, npad, npad)
-        )
+        ids = (jnp.arange(npad) < n).astype(jnp.int32)
+        ids = jnp.broadcast_to(ids[None, :], (b, npad))
+        segment_ids = SegmentIds(q=ids, kv=ids)
     else:
-        ab = None
+        segment_ids = None
     block_sizes = BlockSizes(
         block_q=block,
         block_k_major=block,
@@ -90,7 +89,9 @@ def _pallas_flash(q, k, v, scale):
         block_k_dq=block,
         block_q_dq=block,
     )
-    out = flash_attention(q, k, v, ab=ab, sm_scale=scale, block_sizes=block_sizes)
+    out = flash_attention(
+        q, k, v, segment_ids=segment_ids, sm_scale=scale, block_sizes=block_sizes
+    )
     if pad:
         out = out[:, :, :n, :]
     return out

@@ -1,0 +1,51 @@
+"""Device mesh and sharding helpers.
+
+TPU-native replacement for the reference's process-group machinery
+(`src/training/distributed.py`, `dist_utils.py`): one `jax.sharding.Mesh`
+with a `data` axis (extensible with `fsdp` for optimizer-state sharding).
+Gradient all-reduce (DDP's role) falls out of pjit's partitioning of the
+batch axis; host-side object gathers become `multihost_utils`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: tuple[str, ...] = ("data",),
+    shape: Optional[tuple[int, ...]] = None,
+) -> Mesh:
+    """Create a mesh over local (or all) devices.
+
+    Defaults to a 1-D data-parallel mesh — the reference's only parallelism
+    (SURVEY.md §2.7) — but accepts arbitrary shapes for hybrid layouts, e.g.
+    ``axis_names=('data', 'fsdp'), shape=(2, 4)``.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim across the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Device-put a host batch pytree with the batch dim sharded."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,313 @@
+"""Experiment driver CLI.
+
+TPU-native equivalent of the reference orchestration
+(`src/training/main.py:55-346`): parse flags -> mesh init -> build
+student+teacher -> optimizer -> data -> eval-before-train -> epoch loop with
+per-step jitted training -> ensemble-on-save -> periodic zero-shot eval.
+
+Usage (mirrors the reference scripts):
+  python -m clipself_tpu.train.main \
+      --model EVA02-CLIP-B-16 --pretrained ckpt.pt \
+      --dataset-type grid_distill --train-data instances_train2017.json \
+      --train-image-root train2017 --val-data panoptic_val2017.json \
+      --val-image-root val2017 --val-segm-root panoptic_val2017 \
+      --embed-path coco_panoptic_b16.npy --batch-size 16 --epochs 6
+
+Smoke mode: --synthetic runs the full loop on synthetic data (no files).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("clipself_tpu trainer")
+    # model
+    p.add_argument("--model", default="EVA02-CLIP-B-16")
+    p.add_argument("--pretrained", default=None, help=".pt or orbax checkpoint to start from")
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--grad-checkpointing", action="store_true")
+    p.add_argument("--attn-impl", default="auto", choices=["auto", "xla", "flash"])
+    p.add_argument("--lock-image", action="store_true", default=True)
+    p.add_argument("--lock-image-unlocked-groups", type=int, default=12)
+    # method
+    p.add_argument("--dataset-type", default="grid_distill",
+                   choices=["grid_distill", "proposals_distill", "region_clip"])
+    p.add_argument("--cosine-weight", type=float, default=1.0)
+    p.add_argument("--contrast-weight", type=float, default=1.0)
+    p.add_argument("--multiscale", action="store_true")
+    p.add_argument("--extract-type", default="v2", choices=["v1", "v2"])
+    p.add_argument("--train-embed-path", default=None, help="RegionCLIP noun embeddings .npy")
+    # data
+    p.add_argument("--train-data", default=None)
+    p.add_argument("--train-image-root", default=None)
+    p.add_argument("--val-data", default=None)
+    p.add_argument("--val-image-root", default=None)
+    p.add_argument("--val-segm-root", default=None)
+    p.add_argument("--embed-path", default=None)
+    p.add_argument("--det-image-size", type=int, default=1024)
+    p.add_argument("--max-boxes", type=int, default=20)
+    p.add_argument("--max-split", type=int, default=16)
+    p.add_argument("--crop-scale", type=float, default=1.0)
+    p.add_argument("--pre-transforms", action="store_true")
+    p.add_argument("--train-ratio", type=float, default=1.0)
+    p.add_argument("--min-size", type=float, default=8.0)
+    p.add_argument("--max-size", type=float, default=1024.0)
+    p.add_argument("--batch-size", type=int, default=16, help="GLOBAL batch size")
+    p.add_argument("--val-batch-size", type=int, default=1)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--synthetic", action="store_true", help="synthetic data smoke mode")
+    p.add_argument("--steps-per-epoch", type=int, default=None,
+                   help="override (required for --synthetic)")
+    # optim
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.999)
+    p.add_argument("--eps", type=float, default=1e-8)
+    p.add_argument("--wd", type=float, default=0.1)
+    p.add_argument("--warmup", type=int, default=1000)
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--lr-scheduler", default="cosine",
+                   choices=["cosine", "const", "const-cooldown"])
+    p.add_argument("--grad-clip-norm", type=float, default=None)
+    p.add_argument("--alpha", type=float, default=0.7, help="ensemble weight on save")
+    # infra
+    p.add_argument("--name", default=None)
+    p.add_argument("--logs", default="./logs")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--save-frequency", type=int, default=1)
+    p.add_argument("--zeroshot-frequency", type=int, default=1)
+    p.add_argument("--export-torch", action="store_true",
+                   help="also export each checkpoint in the PyTorch layout")
+    p.add_argument("--log-every-n-steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n-devices", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def build_data(args, mesh):
+    from clipself_tpu.data.datasets import (
+        COCOPanopticEvalDataset,
+        GridDistillDataset,
+        ProposalDistillDataset,
+        RegionCLIPDataset,
+    )
+    from clipself_tpu.data.loader import SyntheticDistillData, make_loader
+
+    data = {}
+    if args.synthetic:
+        data["train"] = SyntheticDistillData(
+            batch_size=args.batch_size,
+            det_size=args.det_image_size,
+            crop_size=args.input_size,
+            max_anns=args.max_boxes,
+        )
+        data["train_size"] = args.batch_size * (args.steps_per_epoch or 10)
+        return data
+
+    if args.train_data:
+        if args.dataset_type == "grid_distill":
+            ds = GridDistillDataset(
+                args.train_data, args.train_image_root,
+                det_size=args.det_image_size, crop_size=args.input_size,
+                max_split=args.max_split, max_anns=args.max_boxes,
+                crop_scale=args.crop_scale, pre_transforms=args.pre_transforms,
+                train_ratio=args.train_ratio, seed=args.seed,
+            )
+        elif args.dataset_type == "proposals_distill":
+            ds = ProposalDistillDataset(
+                args.train_data, args.train_image_root,
+                det_size=args.det_image_size, crop_size=args.input_size,
+                max_anns=args.max_boxes, min_size=args.min_size,
+                max_size=args.max_size, seed=args.seed,
+            )
+        else:
+            ds = RegionCLIPDataset(
+                args.train_data, args.train_image_root,
+                det_size=args.det_image_size, max_anns=args.max_boxes,
+                train_ratio=args.train_ratio, seed=args.seed,
+            )
+        data["train_ds"] = ds
+        data["train"] = make_loader(
+            ds, args.batch_size, shuffle=True, seed=args.seed,
+            num_epochs=None, worker_count=args.workers,
+        )
+        data["train_size"] = len(ds)
+
+    if args.val_data:
+        val_ds = COCOPanopticEvalDataset(
+            args.val_data, args.val_image_root, args.val_segm_root,
+            embed_path=args.embed_path, det_size=args.det_image_size,
+            crop_size=args.input_size, downsample_factor=args.downsample_factor,
+        )
+        data["val_ds"] = val_ds
+        data["val"] = partial(
+            make_loader, val_ds, args.val_batch_size,
+            shuffle=False, num_epochs=1, worker_count=args.workers,
+        )
+    return data
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(message)s")
+    log = logging.getLogger("clipself_tpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import get_model_config
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.parallel.mesh import create_mesh, shard_batch
+    from clipself_tpu.train import checkpoint as ckpt
+    from clipself_tpu.train.methods import clipself_loss, regionclip_loss
+    from clipself_tpu.train.optim import build_optimizer, make_schedule
+    from clipself_tpu.train.step import TrainState, make_train_step
+
+    cfg = get_model_config(args.model)
+    args.input_size = cfg.vision.image_size
+    args.downsample_factor = cfg.vision.patch_size
+    mesh = create_mesh(args.n_devices)
+    n_dev = mesh.devices.size
+    assert args.batch_size % n_dev == 0, (
+        f"global batch {args.batch_size} must divide over {n_dev} devices"
+    )
+    log.info(f"mesh: {n_dev} devices; global batch {args.batch_size}")
+
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    model, params = create_model(
+        cfg, dtype=dtype, attn_impl=args.attn_impl,
+        remat=args.grad_checkpointing, pretrained=args.pretrained, seed=args.seed,
+    )
+    teacher_params = jax.tree.map(jnp.copy, params)  # must not alias donated state.params
+
+    name = args.name or f"{args.model}-{args.dataset_type}-{time.strftime('%Y%m%d-%H%M%S')}"
+    out_dir = os.path.join(args.logs, name)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "params.txt"), "w") as f:
+        for k in sorted(vars(args)):
+            f.write(f"{k}: {getattr(args, k)}\n")
+
+    data = build_data(args, mesh)
+
+    steps_per_epoch = args.steps_per_epoch or (data.get("train_size", 0) // args.batch_size)
+    total_steps = steps_per_epoch * args.epochs
+
+    if args.dataset_type == "region_clip":
+        noun_emb = np.load(args.train_embed_path).astype(np.float32)
+        noun_emb /= np.linalg.norm(noun_emb, axis=-1, keepdims=True) + 1e-12
+        loss_fn = partial(
+            regionclip_loss,
+            noun_embeddings=jnp.asarray(noun_emb),
+            contrast_weight=args.contrast_weight,
+        )
+    else:
+        loss_fn = partial(clipself_loss, cosine_weight=args.cosine_weight)
+
+    schedule = make_schedule(args.lr_scheduler, args.lr, args.warmup, total_steps)
+    tx = build_optimizer(
+        params, schedule, wd=args.wd, beta1=args.beta1, beta2=args.beta2,
+        eps=args.eps, grad_clip_norm=args.grad_clip_norm,
+        unlocked_groups=args.lock_image_unlocked_groups,
+        num_layers=cfg.vision.layers, lock_image=args.lock_image,
+    )
+    state = TrainState.create(params, tx)
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = ckpt.restore_checkpoint(args.resume, state)
+        log.info(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    step_fn = make_train_step(model, tx, loss_fn, mesh=mesh)
+    rng = jax.random.PRNGKey(args.seed)
+
+    # multiscale: each target size is its own compiled step (static shapes);
+    # images are resized on-device (reference clipself.py:17-27 does this with
+    # F.interpolate on GPU)
+    if args.multiscale and args.dataset_type != "region_clip":
+        from clipself_tpu.train.methods import multiscale_sizes, resize_images_for_scale
+
+        ms_sizes = multiscale_sizes(args.det_image_size)
+        ms_rng = np.random.default_rng(args.seed + 1)
+        resize_fns = {
+            s: jax.jit(partial(resize_images_for_scale, target_size=s)) for s in ms_sizes
+        }
+
+        def maybe_multiscale(batch):
+            s = int(ms_rng.choice(ms_sizes))
+            return resize_fns[s](batch)
+    else:
+        maybe_multiscale = lambda b: b
+
+    def run_eval(eval_params, epoch):
+        if "val" not in data or args.zeroshot_frequency == 0:
+            return {}
+        from clipself_tpu.eval.zero_shot import evaluate_zero_shot
+
+        results = evaluate_zero_shot(
+            model, eval_params, data["val"](), data["val_ds"].embeddings, mesh=mesh,
+            progress=True,
+        )
+        log.info(f"eval epoch {epoch}: {json.dumps(results)}")
+        with open(os.path.join(out_dir, "results.jsonl"), "a") as f:
+            f.write(json.dumps({"epoch": epoch, **results}) + "\n")
+        return results
+
+    if "train" not in data:
+        run_eval(state.params, start_epoch)
+        return
+
+    # eval before training (reference main.py:263-269)
+    run_eval(state.params, start_epoch)
+
+    train_iter = iter(data["train"])
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    for epoch in range(start_epoch, args.epochs):
+        if "train_ds" in data:
+            data["train_ds"].set_epoch(epoch)
+        t_start = time.time()
+        losses = []
+        for i in range(steps_per_epoch):
+            batch = maybe_multiscale(shard_batch(mesh, next(train_iter)))
+            state, metrics = step_fn(state, teacher_params, batch, rng)
+            if (i + 1) % args.log_every_n_steps == 0 or i + 1 == steps_per_epoch:
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                done = (i + 1) * args.batch_size
+                ips = done / (time.time() - t_start)
+                log.info(
+                    f"epoch {epoch} step {i+1}/{steps_per_epoch} "
+                    f"loss {loss:.4f} | {ips:.1f} img/s ({ips / n_dev:.1f}/chip)"
+                )
+        completed = epoch + 1
+        if completed % args.save_frequency == 0 or completed == args.epochs:
+            target = ckpt.save_checkpoint(
+                ckpt_dir, state, teacher_params, completed, alpha=args.alpha
+            )
+            if args.export_torch:
+                ckpt.export_torch(
+                    os.path.join(out_dir, f"epoch_{completed}.pt"),
+                    jax.tree.map(np.asarray, target), cfg, epoch=completed, name=name,
+                )
+        else:
+            from clipself_tpu.train.ensemble import student_teacher_ensemble
+
+            target = (
+                student_teacher_ensemble(state.params, teacher_params, args.alpha)
+                if args.alpha < 1.0 else state.params
+            )
+        if args.zeroshot_frequency > 0 and completed % args.zeroshot_frequency == 0:
+            run_eval(target, completed)
+
+    log.info("done")
+
+
+if __name__ == "__main__":
+    main()

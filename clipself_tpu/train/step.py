@@ -1,0 +1,108 @@
+"""The jitted distillation train step.
+
+The reference's per-step region (`src/training/train.py:80-122`: teacher
+encode + student dense encode + roi_align + loss + DDP all-reduce + AdamW +
+logit clamp) collapses into ONE jitted, donated function partitioned over the
+`data` mesh axis — gradients are reduced by XLA collectives as a consequence
+of the batch sharding, replacing NCCL DDP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
+
+
+MAX_LOGIT_SCALE = float(np.log(100.0))  # reference clamp (train.py:117-119)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    loss_fn(params, teacher_params, batch, model, rng) -> (loss, metrics).
+
+    With a mesh, params/opt state are replicated and the batch is sharded on
+    `data`; XLA inserts the gradient all-reduce (psum) automatically.
+    """
+
+    def step_fn(state: TrainState, teacher_params, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def lf(p):
+            return loss_fn(p, teacher_params, batch, model, rng)
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # clamp logit_scale to [0, ln(100)] (reference train.py:117-119)
+        params = dict(params)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, MAX_LOGIT_SCALE)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return state.replace(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_fns(model, mesh: Optional[Mesh] = None):
+    """Jitted inference entry points used by the zero-shot evaluator."""
+    kw = {}
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kw = dict(in_shardings=(repl, data), out_shardings=data)
+
+    @functools.partial(jax.jit, **kw)
+    def encode_image(params, images):
+        return model.apply({"params": params}, images, True, method="encode_image")
+
+    if mesh is not None:
+        kw2 = dict(in_shardings=(repl, data, data), out_shardings=data)
+    else:
+        kw2 = {}
+
+    @functools.partial(jax.jit, **kw2)
+    def encode_boxes(params, images, boxes):
+        return model.apply(
+            {"params": params}, images, boxes, True, method="encode_pseudo_boxes"
+        )
+
+    @functools.partial(jax.jit, **kw2)
+    def encode_masks(params, images, masks):
+        return model.apply({"params": params}, images, masks, True, method="encode_masks")
+
+    return encode_image, encode_boxes, encode_masks

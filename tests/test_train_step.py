@@ -1,0 +1,147 @@
+"""End-to-end jitted train step on the simulated 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipself_tpu.core.config import get_model_config
+from clipself_tpu.models.factory import create_model
+from clipself_tpu.parallel.mesh import create_mesh, shard_batch
+from clipself_tpu.train.ensemble import student_teacher_ensemble
+from clipself_tpu.train.methods import clipself_loss, regionclip_loss, _fed_class_mask
+from clipself_tpu.train.optim import build_optimizer, make_schedule, trainable_labels
+from clipself_tpu.train.step import TrainState, make_train_step
+
+CFG = get_model_config("EVA02-CLIP-Tiny-Test")
+
+
+def _batch(rng, b=8, m=4, s=32, crop=32):
+    images = rng.normal(size=(b, s, s, 3)).astype(np.float32)
+    xy = rng.uniform(0, 0.5, size=(b, m, 2)).astype(np.float32)
+    wh = rng.uniform(0.1, 0.5, size=(b, m, 2)).astype(np.float32)
+    valid = (rng.uniform(size=(b, m, 1)) > 0.3).astype(np.float32)
+    valid[:, 0] = 1.0  # at least one valid box per image
+    boxes = np.concatenate([xy, xy + wh, valid], axis=-1)
+    crops = rng.normal(size=(b, m, crop, crop, 3)).astype(np.float32)
+    return {
+        "images": jnp.asarray(images),
+        "boxes": jnp.asarray(boxes),
+        "crops": jnp.asarray(crops),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, params = create_model(CFG, dtype=jnp.float32, seed=0)
+    teacher = jax.tree.map(lambda x: x.copy(), params)
+    return model, params, teacher
+
+
+def test_clipself_step_multichip(setup):
+    model, params, teacher = setup
+    assert jax.device_count() == 8
+    mesh = create_mesh()
+    sched = make_schedule("cosine", 1e-3, warmup=2, total_steps=20)
+    tx = build_optimizer(
+        params, sched, wd=0.1, unlocked_groups=CFG.vision.layers,
+        num_layers=CFG.vision.layers,
+    )
+    step = make_train_step(model, tx, clipself_loss, mesh=mesh)
+    # snapshot originals; state gets fresh copies because the step donates its input
+    params0 = jax.tree.map(np.asarray, params)
+    state = TrainState.create(jax.tree.map(jnp.array, params), tx)
+    rng = jax.random.PRNGKey(0)
+    batch = shard_batch(mesh, _batch(np.random.default_rng(0)))
+
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, teacher, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # on a repeated batch the distill loss must decrease
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 4
+
+    # frozen leaves unchanged: text tower and embedding-level vision params
+    np.testing.assert_array_equal(
+        np.asarray(state.params["text"]["text_projection"]),
+        params0["text"]["text_projection"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.params["visual"]["pos_embed"]),
+        params0["visual"]["pos_embed"],
+    )
+    # unlocked blocks must have moved
+    a = np.asarray(state.params["visual"]["blocks_1"]["mlp"]["w3"]["kernel"])
+    b = params0["visual"]["blocks_1"]["mlp"]["w3"]["kernel"]
+    assert np.abs(a - b).max() > 0
+
+    # logit_scale clamped to [0, ln(100)]
+    ls = float(state.params["logit_scale"])
+    assert 0.0 <= ls <= np.log(100.0) + 1e-6
+
+
+def test_lock_groups(setup):
+    model, params, _ = setup
+    labels = trainable_labels(params, unlocked_groups=1, num_layers=CFG.vision.layers)
+    assert labels["visual"]["blocks_1"]["mlp"]["w3"]["kernel"] == "train"
+    assert labels["visual"]["blocks_0"]["mlp"]["w3"]["kernel"] == "freeze"
+    assert labels["text"]["text_projection"] == "freeze"
+    assert labels["visual"]["pos_embed"] == "freeze"
+    assert labels["logit_scale"] == "freeze"
+
+
+def test_regionclip_loss(setup):
+    model, params, teacher = setup
+    rng_np = np.random.default_rng(1)
+    b, m, c = 4, 4, 32
+    batch = _batch(rng_np, b=b, m=m)
+    labels = rng_np.integers(0, c, size=(b, m, 1)).astype(np.float32)
+    valid = np.asarray(batch["boxes"][..., 4:5])
+    boxes6 = np.concatenate([np.asarray(batch["boxes"][..., :4]), labels, valid], -1)
+    batch = {"images": batch["images"], "boxes": jnp.asarray(boxes6)}
+    nouns = rng_np.normal(size=(c, CFG.embed_dim)).astype(np.float32)
+    nouns /= np.linalg.norm(nouns, axis=-1, keepdims=True)
+
+    loss, metrics = regionclip_loss(
+        params, teacher, batch, model, jax.random.PRNGKey(0),
+        noun_embeddings=jnp.asarray(nouns), num_sample_cats=10,
+    )
+    assert np.isfinite(float(loss))
+    assert float(loss) > 0
+
+
+def test_fed_class_mask():
+    labels = jnp.asarray([3, 3, 7, 0])
+    valid = jnp.asarray([1.0, 1.0, 1.0, 0.0])  # label 0 is padding
+    mask = _fed_class_mask(labels, valid, num_classes=50, num_sample=10, rng=jax.random.PRNGKey(0))
+    mask = np.asarray(mask)
+    assert mask[3] and mask[7]
+    assert mask.sum() == 10  # appeared (2) + sampled absents = num_sample
+    # if more appear than num_sample, all appeared kept
+    labels2 = jnp.arange(20)
+    valid2 = jnp.ones(20)
+    mask2 = np.asarray(
+        _fed_class_mask(labels2, valid2, num_classes=50, num_sample=10, rng=jax.random.PRNGKey(1))
+    )
+    assert mask2[:20].all()
+
+
+def test_ensemble():
+    s = {"a": jnp.ones(3)}
+    t = {"a": jnp.zeros(3)}
+    e = student_teacher_ensemble(s, t, 0.7)
+    np.testing.assert_allclose(np.asarray(e["a"]), 0.7)
+
+
+def test_schedule_matches_reference_formula():
+    sched = make_schedule("cosine", base_lr=1.0, warmup=10, total_steps=110)
+    # warmup: base * (step + 1) / warmup
+    np.testing.assert_allclose(float(sched(0)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(9)), 1.0, rtol=1e-6)
+    # cosine: 0.5 * (1 + cos(pi * e / es)) * base
+    e, es = 50 - 10, 100
+    np.testing.assert_allclose(
+        float(sched(50)), 0.5 * (1 + np.cos(np.pi * e / es)), rtol=1e-6
+    )
