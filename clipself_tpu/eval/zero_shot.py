@@ -60,6 +60,7 @@ def evaluate_zero_shot(
     embeddings: np.ndarray,
     mesh=None,
     image_ave_pool: bool = False,
+    extract_type: str = "v2",
     gather_fn=None,
     progress: bool = False,
 ) -> dict:
@@ -77,8 +78,15 @@ def evaluate_zero_shot(
 
     @jax.jit
     def batch_features(params, images, boxes4, crops, masks):
-        rois = model.apply({"params": params}, images, boxes4, True, method="encode_pseudo_boxes")
-        maskpool = model.apply({"params": params}, images, masks, True, method="encode_masks")
+        rois = model.apply(
+            {"params": params}, images, boxes4, True, extract_type,
+            method="encode_pseudo_boxes",
+        )
+        # reference zero_shot.py:74-76: mask-attention pooling when v1
+        maskpool = model.apply(
+            {"params": params}, images, masks, True, extract_type == "v1",
+            method="encode_masks",
+        )
         b, m = crops.shape[:2]
         crop_flat = crops.reshape((b * m,) + crops.shape[2:])
         if image_ave_pool:

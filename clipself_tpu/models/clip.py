@@ -37,7 +37,13 @@ class CLIP(nn.Module):
     remat: bool = False
 
     def setup(self):
-        self.visual = EvaViT(
+        if self.cfg.vision.eva_model_name:
+            visual_cls = EvaViT
+        else:
+            from clipself_tpu.models.open_clip_vit import OpenCLIPViT
+
+            visual_cls = OpenCLIPViT
+        self.visual = visual_cls(
             self.cfg.vision,
             embed_dim=self.cfg.embed_dim,
             dtype=self.dtype,
@@ -79,17 +85,36 @@ class CLIP(nn.Module):
         return l2_normalize(feats) if normalize else feats
 
     def encode_pseudo_boxes(
-        self, image: jnp.ndarray, normed_boxes: jnp.ndarray, normalize: bool = False
+        self,
+        image: jnp.ndarray,
+        normed_boxes: jnp.ndarray,
+        normalize: bool = False,
+        extract_type: str = "v2",
     ) -> jnp.ndarray:
-        """image: [B, H, W, 3]; normed_boxes: [B, M, 4] in [0,1] xyxy."""
-        feats = self.visual.extract_roi_features(image, normed_boxes)
+        """image: [B, H, W, 3]; normed_boxes: [B, M, 4] in [0,1] xyxy.
+
+        extract_type 'v1' (mask-attention pooling) is only meaningful for the
+        plain OpenCLIP ViT; the EVA tower ignores it (reference
+        `eva_vit_model.py:625`)."""
+        feats = self.visual.extract_roi_features(image, normed_boxes, extract_type=extract_type)
         return l2_normalize(feats) if normalize else feats
 
     def encode_masks(
-        self, image: jnp.ndarray, masks: jnp.ndarray, normalize: bool = True
+        self,
+        image: jnp.ndarray,
+        masks: jnp.ndarray,
+        normalize: bool = True,
+        mask_attn: bool = False,
     ) -> jnp.ndarray:
-        """image: [B, H, W, 3]; masks: [B, M, gh, gw] binary."""
-        feats = self.visual.mask_pool(image, masks)
+        """image: [B, H, W, 3]; masks: [B, M, gh, gw] binary.
+
+        mask_attn=True uses mask-attention pooling where the tower supports
+        it (plain OpenCLIP ViT); the EVA tower always mask-pools, matching
+        the reference (`eva_clip/model.py:342-346`)."""
+        if mask_attn and hasattr(self.visual, "mask_attn_pool"):
+            feats = self.visual.mask_attn_pool(image, masks)
+        else:
+            feats = self.visual.mask_pool(image, masks)
         return l2_normalize(feats) if normalize else feats
 
     def encode_rois_and_image(self, image: jnp.ndarray, normed_boxes: jnp.ndarray):

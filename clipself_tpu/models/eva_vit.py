@@ -321,9 +321,12 @@ class EvaViT(nn.Module):
             return t.reshape(b, gh, gw, -1)
         return t
 
-    def extract_roi_features(self, x: jnp.ndarray, normed_boxes: jnp.ndarray) -> jnp.ndarray:
+    def extract_roi_features(
+        self, x: jnp.ndarray, normed_boxes: jnp.ndarray, extract_type: str = "v2"
+    ) -> jnp.ndarray:
         """RoI features by 1x1 aligned RoI-align over the dense map
-        (reference `extract_roi_features`, `eva_vit_model.py:625-629`).
+        (reference `extract_roi_features`, `eva_vit_model.py:625-629`;
+        `extract_type` is accepted and ignored, as in the reference).
 
         Args:
           normed_boxes: [B, M, 4] xyxy normalized to [0, 1] (padded rows OK).

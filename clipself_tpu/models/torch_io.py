@@ -49,6 +49,38 @@ def _vision_key_map(flax_key: tuple[str, ...], cfg: CLIPConfig):
         return "visual.head.weight", "linear"
     if k == ["head", "bias"]:
         return "visual.head.bias", None
+    # --- plain OpenCLIP ViT tower (visual.transformer.resblocks layout) ---
+    if k == ["conv1", "kernel"]:
+        return "visual.conv1.weight", "conv"
+    if k == ["class_embedding"]:
+        return "visual.class_embedding", None
+    if k == ["positional_embedding"]:
+        return "visual.positional_embedding", None
+    if k == ["proj"]:
+        return "visual.proj", None
+    for ln_name in ("ln_pre", "ln_post"):
+        if k == [ln_name, "scale"]:
+            return f"visual.{ln_name}.weight", None
+        if k == [ln_name, "bias"]:
+            return f"visual.{ln_name}.bias", None
+    m = re.match(r"resblocks_(\d+)", k[0])
+    if m:
+        i = m.group(1)
+        rest = k[1:]
+        base = f"visual.transformer.resblocks.{i}"
+        ln = {"scale": "weight", "bias": "bias"}
+        if rest[0] in ("ln_1", "ln_2"):
+            return f"{base}.{rest[0]}.{ln[rest[1]]}", None
+        if rest[0] == "in_proj":
+            if rest[1] == "kernel":
+                return f"{base}.attn.in_proj_weight", "linear"
+            return f"{base}.attn.in_proj_bias", None
+        if rest[0] == "out_proj":
+            t = "linear" if rest[1] == "kernel" else None
+            return f"{base}.attn.out_proj.{'weight' if t else 'bias'}", t
+        if rest[0] in ("c_fc", "c_proj"):
+            t = "linear" if rest[1] == "kernel" else None
+            return f"{base}.mlp.{rest[0]}.{'weight' if t else 'bias'}", t
     m = re.match(r"blocks_(\d+)", k[0])
     if m:
         i = m.group(1)
@@ -211,6 +243,8 @@ def import_state_dict(sd: dict, params: Any, cfg: CLIPConfig, strict: bool = Fal
             arr = arr.transpose(2, 3, 1, 0)
         if tkey == "visual.pos_embed":
             arr = resize_pos_embed_np(arr, init_val.shape[1])
+        elif tkey == "visual.positional_embedding":
+            arr = resize_pos_embed_np(arr[None], init_val.shape[0])[0]
         if arr.shape != tuple(init_val.shape):
             raise ValueError(f"shape mismatch for {tkey}: ckpt {arr.shape} vs model {init_val.shape}")
         new_flat[path] = arr

@@ -208,9 +208,12 @@ def main(argv=None):
             regionclip_loss,
             noun_embeddings=jnp.asarray(noun_emb),
             contrast_weight=args.contrast_weight,
+            extract_type=args.extract_type,
         )
     else:
-        loss_fn = partial(clipself_loss, cosine_weight=args.cosine_weight)
+        loss_fn = partial(
+            clipself_loss, cosine_weight=args.cosine_weight, extract_type=args.extract_type
+        )
 
     schedule = make_schedule(args.lr_scheduler, args.lr, args.warmup, total_steps)
     tx = build_optimizer(

@@ -49,6 +49,7 @@ def clipself_loss(
     rng: Optional[jax.Array] = None,
     *,
     cosine_weight: float = 1.0,
+    extract_type: str = "v2",
 ) -> tuple[jnp.ndarray, dict]:
     """CLIPSelf distillation step (reference `CLIPSelf.__call__`,
     `clipself.py:7-49`).
@@ -75,7 +76,8 @@ def clipself_loss(
     teacher_feats = jax.lax.stop_gradient(teacher_feats)
 
     student_feats = model.apply(
-        {"params": params}, images, boxes[..., :4], method="encode_pseudo_boxes"
+        {"params": params}, images, boxes[..., :4],
+        False, extract_type, method="encode_pseudo_boxes",
     ).reshape(b * m, -1)
 
     cos = jnp.sum(
@@ -123,6 +125,7 @@ def regionclip_loss(
     noun_embeddings: jnp.ndarray = None,
     num_sample_cats: int = 100,
     contrast_weight: float = 1.0,
+    extract_type: str = "v2",
 ) -> tuple[jnp.ndarray, dict]:
     """RegionCLIP region-text training (reference `RegionCLIP.__call__`,
     `region_clip.py:28-67`): box features vs. fixed noun embeddings with a
@@ -140,7 +143,8 @@ def regionclip_loss(
     labels = boxes[..., 4].astype(jnp.int32).reshape(b * m)
 
     feats = model.apply(
-        {"params": params}, images, boxes[..., :4], True, method="encode_pseudo_boxes"
+        {"params": params}, images, boxes[..., :4],
+        True, extract_type, method="encode_pseudo_boxes",
     ).reshape(b * m, -1)
 
     logit_scale = params["logit_scale"]
