@@ -46,6 +46,9 @@ class VisionConfig:
     fusedLN: bool = False  # LayerNorm is always XLA-fused on TPU; kept for parity
     global_average_pool: bool = False
     eva_model_name: Optional[str] = None
+    # when set, the tower is a CLIP ModifiedResNet with these stage depths
+    # (the reference keys this on `layers` being a list, model.py:143-151)
+    resnet_layers: Optional[Tuple[int, ...]] = None
     ln_eps: float = 1e-6
 
     @property
@@ -93,7 +96,11 @@ def _filter_fields(cls, cfg: dict) -> dict:
 
 
 def config_from_dict(d: dict, name: str = "") -> CLIPConfig:
-    vision = VisionConfig(**_filter_fields(VisionConfig, d.get("vision_cfg", {})))
+    vcfg = dict(d.get("vision_cfg", {}))
+    if isinstance(vcfg.get("layers"), (list, tuple)):
+        vcfg["resnet_layers"] = tuple(vcfg["layers"])
+        vcfg["layers"] = len(vcfg["resnet_layers"])
+    vision = VisionConfig(**_filter_fields(VisionConfig, vcfg))
     text = TextConfig(**_filter_fields(TextConfig, d.get("text_cfg", {})))
     return CLIPConfig(embed_dim=d["embed_dim"], vision=vision, text=text, name=name)
 

@@ -37,8 +37,14 @@ class CLIP(nn.Module):
     remat: bool = False
 
     def setup(self):
+        extra = {}
         if self.cfg.vision.eva_model_name:
             visual_cls = EvaViT
+        elif self.cfg.vision.resnet_layers:
+            from clipself_tpu.models.modified_resnet import ModifiedResNet
+
+            visual_cls = ModifiedResNet
+            extra = {"layers": self.cfg.vision.resnet_layers}
         else:
             from clipself_tpu.models.open_clip_vit import OpenCLIPViT
 
@@ -50,6 +56,7 @@ class CLIP(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             name="visual",
+            **extra,
         )
         self.text = TextTransformer(
             self.cfg.text, embed_dim=self.cfg.embed_dim, dtype=self.dtype, name="text"

@@ -118,6 +118,91 @@ def roi_align_1x1(feats: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     return out.astype(feats.dtype)
 
 
+# ---------------------------------------------------------------------------
+# general NxN RoI-align (detector heads, RN50 v1 pooling)
+
+
+def _bin_axis_weights(
+    lo: jnp.ndarray, length: jnp.ndarray, size: int, out_bins: int, max_samples: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-bin accumulated bilinear weights along one axis.
+
+    Returns (weights [N, out_bins, size], samples_per_bin [N]).
+    Sampling matches torchvision with sampling_ratio=-1: per-bin grid count
+    = ceil(bin_extent), sample position
+    ``lo + bin*bin_extent + (i + 0.5) * bin_extent / grid``.
+    """
+    n = lo.shape[0]
+    bin_ext = length / out_bins  # [N]
+    grid = jnp.maximum(jnp.ceil(bin_ext), 1.0)
+    num = jnp.minimum(grid, float(max_samples))
+    i = jnp.arange(max_samples, dtype=lo.dtype)  # [S]
+    bins = jnp.arange(out_bins, dtype=lo.dtype)  # [O]
+    # pos[n, o, s]
+    pos = (
+        lo[:, None, None]
+        + bins[None, :, None] * bin_ext[:, None, None]
+        + (i[None, None, :] + 0.5) * (bin_ext / grid)[:, None, None]
+    )
+    sample_mask = i[None, None, :] < num[:, None, None]
+
+    outside = (pos < -1.0) | (pos > float(size))
+    p = jnp.maximum(pos, 0.0)
+    p_low = jnp.floor(p)
+    at_edge = p_low >= float(size - 1)
+    p_low = jnp.where(at_edge, float(size - 1), p_low)
+    frac = jnp.where(at_edge, 0.0, p - p_low)
+    idx_low = p_low.astype(jnp.int32)
+    idx_high = jnp.minimum(idx_low + 1, size - 1)
+
+    valid = (sample_mask & ~outside).astype(lo.dtype)
+    w_low = (1.0 - frac) * valid
+    w_high = frac * valid
+
+    grid_ids = jnp.arange(size, dtype=jnp.int32)
+    onehot_low = (idx_low[..., None] == grid_ids).astype(lo.dtype)  # [N, O, S, size]
+    onehot_high = (idx_high[..., None] == grid_ids).astype(lo.dtype)
+    weights = jnp.einsum("nos,nosg->nog", w_low, onehot_low) + jnp.einsum(
+        "nos,nosg->nog", w_high, onehot_high
+    )
+    return weights, num
+
+
+def roi_align_nxn(
+    feats: jnp.ndarray, boxes: jnp.ndarray, output_size: tuple[int, int]
+) -> jnp.ndarray:
+    """Batched aligned RoI-align with an output grid (torchvision semantics,
+    sampling_ratio=-1, aligned=True).
+
+    Args:
+      feats: [B, H, W, C]; boxes: [B, M, 4] xyxy in feature coordinates.
+      output_size: (oh, ow).
+    Returns [B, M, oh, ow, C].
+    """
+    b, h, w, c = feats.shape
+    oh, ow = output_size
+    max_sy = max(-(-h // oh), 1) + 1
+    max_sx = max(-(-w // ow), 1) + 1
+
+    def per_image(bx, fm):
+        x0 = bx[:, 0].astype(jnp.float32) - 0.5
+        y0 = bx[:, 1].astype(jnp.float32) - 0.5
+        x1 = bx[:, 2].astype(jnp.float32) - 0.5
+        y1 = bx[:, 3].astype(jnp.float32) - 0.5
+        wy, ny = _bin_axis_weights(y0, y1 - y0, h, oh, max_sy)  # [M, oh, H]
+        wx, nx = _bin_axis_weights(x0, x1 - x0, w, ow, max_sx)  # [M, ow, W]
+        count = jnp.maximum(ny * nx, 1.0)  # [M]
+        out = jnp.einsum(
+            "myh,mxw,hwc->myxc",
+            wy, wx, fm.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return out / count[:, None, None, None]
+
+    out = jax.vmap(per_image)(boxes, feats)
+    return out.astype(feats.dtype)
+
+
 def denormalize_boxes(normed_boxes: jnp.ndarray, feat_h: int, feat_w: int) -> jnp.ndarray:
     """Scale [0,1]-normalized xyxy boxes to feature-map coordinates
     (reference `_denormalize_boxes`, `eva_vit_model.py:655-664`)."""
