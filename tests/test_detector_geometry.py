@@ -1,0 +1,130 @@
+"""Geometry ops: IoU / box coder / NMS / assigner / sampler vs NumPy refs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clipself_tpu.detector.boxes import box_iou, clip_boxes, decode_boxes, encode_boxes
+from clipself_tpu.detector.nms import NEG_INF, multiclass_nms, nms
+from clipself_tpu.detector.targets import assign_max_iou, random_sample
+
+
+def np_iou(a, b):
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-6)
+
+
+def rand_boxes(rng, n, size=100.0):
+    lo = rng.uniform(0, size * 0.8, (n, 2))
+    wh = rng.uniform(1.0, size * 0.2, (n, 2))
+    return np.concatenate([lo, lo + wh], -1).astype(np.float32)
+
+
+def test_iou_matches_numpy():
+    rng = np.random.default_rng(0)
+    a, b = rand_boxes(rng, 13), rand_boxes(rng, 7)
+    got = np.asarray(box_iou(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, np_iou(a, b), rtol=1e-5, atol=1e-6)
+
+
+def test_box_coder_roundtrip():
+    rng = np.random.default_rng(1)
+    src, dst = rand_boxes(rng, 20), rand_boxes(rng, 20)
+    stds = (0.1, 0.1, 0.2, 0.2)
+    deltas = encode_boxes(jnp.asarray(src), jnp.asarray(dst), stds=stds)
+    back = decode_boxes(jnp.asarray(src), deltas, stds=stds)
+    np.testing.assert_allclose(np.asarray(back), dst, rtol=1e-4, atol=1e-3)
+
+
+def test_clip_boxes():
+    b = jnp.asarray([[-5.0, -5.0, 500.0, 30.0]])
+    out = np.asarray(clip_boxes(b, (100, 200)))
+    np.testing.assert_allclose(out, [[0.0, 0.0, 200.0, 30.0]])
+
+
+def greedy_nms_np(boxes, scores, thr):
+    order = np.argsort(-scores)
+    keep = []
+    sup = np.zeros(len(boxes), bool)
+    for i in order:
+        if sup[i]:
+            continue
+        keep.append(i)
+        iou = np_iou(boxes[i : i + 1], boxes)[0]
+        sup |= iou > thr
+        sup[i] = True
+    return keep
+
+
+def test_nms_matches_greedy():
+    rng = np.random.default_rng(2)
+    boxes = rand_boxes(rng, 64, size=50.0)
+    scores = rng.uniform(size=64).astype(np.float32)
+    ref = greedy_nms_np(boxes, scores, 0.5)
+    _, s, idx = jax.jit(lambda b, s: nms(b, s, 0.5, 20))(
+        jnp.asarray(boxes), jnp.asarray(scores)
+    )
+    got = [int(i) for i in np.asarray(idx) if i >= 0]
+    assert got == ref[: len(got)]
+    assert len(got) == min(20, len(ref))
+
+
+def test_nms_respects_valid_mask():
+    boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    valid = jnp.asarray([False, True])
+    _, s, idx = nms(boxes, scores, 0.5, 2, valid=valid)
+    assert int(idx[0]) == 1 and int(idx[1]) == -1
+
+
+def test_multiclass_nms():
+    # same box, two classes: both survive (offset trick); low scores dropped
+    boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]], jnp.float32)
+    scores = jnp.asarray([[0.9, 0.05], [0.005, 0.8], [0.6, 0.001]])
+    b, s, l = multiclass_nms(boxes, scores, 0.01, 0.5, 4)
+    got = {(round(float(x), 3), int(c)) for x, c in zip(s, l) if x > NEG_INF}
+    assert got == {(0.9, 0), (0.8, 1), (0.6, 0)}
+
+
+def test_assign_max_iou():
+    anchors = jnp.asarray(
+        [[0, 0, 10, 10], [0, 0, 9, 10], [50, 50, 60, 60], [200, 200, 210, 210]],
+        jnp.float32,
+    )
+    gts = jnp.asarray([[0, 0, 10, 10], [52, 50, 60, 60], [0, 0, 0, 0]], jnp.float32)
+    valid = jnp.asarray([True, True, False])
+    a = assign_max_iou(anchors, gts, valid, 0.7, 0.3, 0.3, True)
+    pos = np.asarray(a.pos)
+    assert pos[0] and pos[1] == (float(a.max_iou[1]) >= 0.7) or pos[1]  # low-quality match
+    assert pos[2]  # best anchor for gt 1 (IoU 0.8 >= min_pos_iou)
+    assert not pos[3] and bool(a.neg[3])
+    assert int(a.gt_idx[0]) == 0 and int(a.gt_idx[2]) == 1
+
+
+def test_assign_ignores_invalid_gt():
+    anchors = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+    gts = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+    a = assign_max_iou(anchors, gts, jnp.asarray([False]), 0.5, 0.3, 0.3, True)
+    assert not bool(a.pos[0])
+
+
+def test_random_sample_budget():
+    rng = np.random.default_rng(3)
+    n = 100
+    pos = jnp.asarray(rng.uniform(size=n) < 0.1)
+    neg = ~pos
+    from clipself_tpu.detector.targets import Assignment
+
+    a = Assignment(
+        gt_idx=jnp.zeros(n, jnp.int32), max_iou=jnp.zeros(n), pos=pos, neg=neg
+    )
+    r = random_sample(jax.random.PRNGKey(0), a, 32, 0.5)
+    assert int(r.pos_mask.sum()) == min(int(pos.sum()), 16)
+    assert int(r.pos_mask.sum()) + int(r.neg_mask.sum()) == 32
+    assert not bool(jnp.any(r.pos_mask & ~pos))
+    assert not bool(jnp.any(r.neg_mask & ~neg))
