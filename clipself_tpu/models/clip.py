@@ -126,3 +126,10 @@ class CLIP(nn.Module):
 
     def encode_rois_and_image(self, image: jnp.ndarray, normed_boxes: jnp.ndarray):
         return self.visual.encode_rois_and_image(image, normed_boxes)
+
+    def visual_taps(
+        self, image: jnp.ndarray, out_indices: tuple, with_dense: bool = False
+    ):
+        """Intermediate visual-trunk taps for detection backbones
+        (reference `EvaCLIPViT.forward`, `F-ViT/models/evaclip_vit.py:61-115`)."""
+        return self.visual.forward_taps(image, out_indices, with_dense=with_dense)

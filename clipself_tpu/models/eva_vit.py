@@ -343,6 +343,49 @@ class EvaViT(nn.Module):
         dense = self.encode_dense(x, keep_shape=True)
         return mask_pool(dense, masks)
 
+    def forward_taps(
+        self,
+        x: jnp.ndarray,
+        out_indices: tuple[int, ...],
+        with_dense: bool = False,
+    ) -> tuple[list[jnp.ndarray], Optional[jnp.ndarray]]:
+        """Intermediate block outputs for detection backbones, one trunk pass.
+
+        Mirrors the reference F-ViT backbone protocol
+        (`F-ViT/models/evaclip_vit.py:61-115`): blocks 0..N-2 run normally and
+        are tapped at `out_indices`; the final block runs WITHOUT attention
+        (value path), and if index N-1 is requested its tap is that value-path
+        output. With `with_dense`, additionally returns the L2-normalized
+        dense VLM feature map (norm + head over the value-path tokens).
+
+        Returns ([B, gh, gw, width] per tap, dense [B, gh, gw, embed] | None).
+        """
+        t, grid = self.embed(x)
+        b = x.shape[0]
+        gh, gw = grid
+        c = self.cfg
+
+        def to_map(tokens):
+            return tokens[:, 1:].reshape(b, gh, gw, c.width)
+
+        taps = []
+        for i, blk in enumerate(self.blocks[:-1]):
+            t = blk(t, grid, None)
+            if i in out_indices:
+                taps.append(to_map(t))
+        t = self.blocks[-1].forward_without_attn(t)
+        if (len(self.blocks) - 1) in out_indices:
+            taps.append(to_map(t))
+        dense = None
+        if with_dense:
+            d = self.norm(t[:, 1:]).astype(self.dtype)
+            d = self.head(d)
+            d = d / (
+                jnp.linalg.norm(d.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12
+            ).astype(d.dtype)
+            dense = d.reshape(b, gh, gw, -1)
+        return taps, dense
+
     def encode_rois_and_image(
         self, x: jnp.ndarray, normed_boxes: jnp.ndarray
     ) -> tuple[jnp.ndarray, jnp.ndarray]:

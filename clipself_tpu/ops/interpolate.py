@@ -71,6 +71,10 @@ def resize_weight_matrix(in_size: int, out_size: int, method: str = "bicubic") -
         frac = np.clip(s - i0, 0.0, 1.0)
         np.add.at(w, (dst.astype(np.int64), i0), 1.0 - frac)
         np.add.at(w, (dst.astype(np.int64), i1), frac)
+    elif method == "nearest":
+        # torch/mmdet 'nearest': src index = floor(dst * in/out)
+        idx = np.minimum((dst * scale).astype(np.int64), in_size - 1)
+        w[dst.astype(np.int64), idx] = 1.0
     else:
         raise ValueError(f"unknown method: {method}")
     return w.astype(np.float32)

@@ -1,0 +1,181 @@
+"""End-to-end FViT detector: init, jitted loss, jitted prediction (tiny cfg)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipself_tpu.core.config import config_from_dict
+from clipself_tpu.detector.config import AnchorCfg, FViTConfig, ProposalCfg, RcnnTestCfg, SampleCfg
+from clipself_tpu.detector.fvit import FViTDetector, backbone_taps
+from clipself_tpu.models.factory import create_model
+
+TINY_CLIP = config_from_dict(
+    {
+        "embed_dim": 32,
+        "vision_cfg": {
+            "image_size": 32,
+            "layers": 4,
+            "width": 64,
+            "head_width": 32,
+            "patch_size": 8,
+            "mlp_ratio": 2.0,
+            "eva_model_name": "tiny-det-test",
+            "rope": True,
+            "naiveswiglu": True,
+            "subln": True,
+        },
+        "text_cfg": {
+            "context_length": 16,
+            "vocab_size": 512,
+            "width": 32,
+            "heads": 2,
+            "layers": 1,
+        },
+    },
+    name="tiny-det",
+)
+
+DET_CFG = FViTConfig(
+    clip_model="tiny-det",
+    out_indices=(0, 1, 2, 3),
+    backbone_width=64,
+    embed_dim=32,
+    patch_size=8,
+    fpn_channels=32,
+    anchors=AnchorCfg(strides=(2, 4, 8, 16, 32)),
+    num_classes=6,
+    num_shared_convs=1,
+    num_shared_fcs=1,
+    fc_out_channels=32,
+    train_proposals=ProposalCfg(nms_pre=128, max_per_img=32),
+    test_proposals=ProposalCfg(nms_pre=128, max_per_img=32),
+    rcnn_sample=SampleCfg(num=16, pos_fraction=0.25, add_gt_as_proposals=True),
+    rcnn_test=RcnnTestCfg(max_per_img=8),
+    max_gt=5,
+    image_size=64,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    clip_model, clip_params = create_model(TINY_CLIP, dtype=jnp.float32)
+    det = FViTDetector(DET_CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    taps, dense = clip_model.apply(
+        {"params": clip_params}, images, DET_CFG.out_indices, True,
+        method="visual_taps",
+    )
+    class_embed = jnp.asarray(rng.normal(size=(DET_CFG.num_classes + 1, 32)), jnp.float32)
+    class_embed = class_embed / jnp.linalg.norm(class_embed, axis=-1, keepdims=True)
+    rois = jnp.asarray([[[4.0, 4.0, 30.0, 30.0]], [[8.0, 8.0, 40.0, 50.0]]])
+    det_params = det.init(jax.random.PRNGKey(1), taps, rois, class_embed)["params"]
+    return clip_model, clip_params, det, det_params, taps, dense, class_embed
+
+
+def _gt(b=2, g=5):
+    rng = np.random.default_rng(3)
+    xy = rng.uniform(0, 30, size=(b, g, 2)).astype(np.float32)
+    wh = rng.uniform(8, 30, size=(b, g, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, np.clip(xy + wh, None, 64)], axis=-1)
+    labels = rng.integers(0, 6, size=(b, g)).astype(np.int32)
+    valid = np.ones((b, g), bool)
+    valid[:, -1] = False
+    return jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(valid)
+
+
+def test_taps_shapes(setup):
+    _, _, _, _, taps, dense, _ = setup
+    assert len(taps) == 4
+    assert all(t.shape == (2, 8, 8, 64) for t in taps)
+    assert dense.shape == (2, 8, 8, 32)
+    norms = np.linalg.norm(np.asarray(dense), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_detector_loss_jit(setup):
+    _, _, det, det_params, taps, _, class_embed = setup
+    gt_boxes, gt_labels, gt_valid = _gt()
+    cw = jnp.asarray([1, 1, 0, 1, 0, 1, 0.6], jnp.float32)  # novel classes zeroed
+
+    @jax.jit
+    def loss_fn(p, key):
+        return det.apply(
+            {"params": p}, taps, gt_boxes, gt_labels, gt_valid, key, class_embed,
+            cw, method="loss",
+        )
+
+    total, metrics = loss_fn(det_params, jax.random.PRNGKey(0))
+    assert np.isfinite(float(total))
+    for k in ("rpn_loss_cls", "rpn_loss_bbox", "loss_cls", "loss_bbox"):
+        assert np.isfinite(float(metrics[k])), k
+    # grads flow through the head but not into any frozen input
+    g = jax.grad(lambda p: loss_fn(p, jax.random.PRNGKey(0))[0])(det_params)
+    gnorm = float(
+        sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(g)) ** 0.5
+    )
+    assert gnorm > 0 and np.isfinite(gnorm)
+
+
+def test_detector_predict_jit(setup):
+    _, _, det, det_params, taps, dense, class_embed = setup
+    base_mask = jnp.asarray([True, True, False, True, False, True, True])
+
+    @jax.jit
+    def predict(p):
+        return det.apply(
+            {"params": p}, taps, dense, class_embed, base_mask, method="predict"
+        )
+
+    boxes, scores, labels = predict(det_params)
+    assert boxes.shape == (2, 8, 4)
+    assert scores.shape == (2, 8)
+    assert labels.shape == (2, 8)
+    s = np.asarray(scores)
+    valid = s > -1e9
+    assert np.all((s[valid] >= 0) & (s[valid] <= 1))
+    lab = np.asarray(labels)
+    assert np.all((lab[valid] >= 0) & (lab[valid] < 6))
+    b = np.asarray(boxes)[valid]
+    assert np.all(b[:, 2] >= b[:, 0]) and np.all(b[:, 3] >= b[:, 1])
+    assert np.all(b >= 0) and np.all(b <= 64)
+
+
+def test_detector_mask_branch(setup):
+    clip_model, clip_params, _, _, taps, dense, class_embed = setup
+    import dataclasses
+
+    cfg = dataclasses.replace(DET_CFG, with_mask=True, mask_convs=1, mask_channels=16, mask_roi_size=4)
+    det = FViTDetector(cfg, dtype=jnp.float32)
+    rois = jnp.asarray([[[4.0, 4.0, 30.0, 30.0]], [[8.0, 8.0, 40.0, 50.0]]])
+    params = det.init(jax.random.PRNGKey(2), taps, rois, class_embed)["params"]
+    gt_boxes, gt_labels, gt_valid = _gt()
+    gt_masks = jnp.asarray(
+        (np.random.default_rng(5).uniform(size=(2, 5, 16, 16)) > 0.5), jnp.float32
+    )
+    total, metrics = jax.jit(
+        lambda p, k: det.apply(
+            {"params": p}, taps, gt_boxes, gt_labels, gt_valid, k, class_embed,
+            None, gt_masks, method="loss",
+        )
+    )(params, jax.random.PRNGKey(0))
+    assert np.isfinite(float(total)) and np.isfinite(float(metrics["loss_mask"]))
+    out = jax.jit(
+        lambda p: det.apply(
+            {"params": p}, taps, dense, class_embed,
+            jnp.ones(7, bool), method="predict",
+        )
+    )(params)
+    assert len(out) == 4
+    probs = np.asarray(out[3])
+    assert probs.shape == (2, 8, 8, 8)
+    assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_backbone_taps_helper(setup):
+    clip_model, clip_params, _, _, _, _, _ = setup
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    taps, dense = backbone_taps(clip_model, clip_params, images, DET_CFG, True)
+    assert len(taps) == 4 and dense is not None
