@@ -141,7 +141,16 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="EVA02-CLIP-B-16")
     parser.add_argument("--pretrained", default=None)
-    parser.add_argument("--ann", required=True, help="COCO-style JSON with categories")
+    parser.add_argument("--ann", default=None, help="COCO-style JSON with categories")
+    parser.add_argument(
+        "--classes-json", default=None,
+        help="plain JSON list of class names (e.g. detector metadata lists)",
+    )
+    parser.add_argument(
+        "--add-background", action="store_true",
+        help="append a 'background' embedding row (detector class matrices, "
+        "reference F-ViT/tools/dump_coco_openclip_feature.py:20-22)",
+    )
     parser.add_argument("--out", required=True, help="output .npy path")
     args = parser.parse_args()
 
@@ -150,9 +159,17 @@ def main():
     from clipself_tpu.models.factory import create_model
 
     model, params = create_model(args.model, dtype=jnp.float32, pretrained=args.pretrained)
-    with open(args.ann) as f:
-        data = json.load(f)
-    cats = [c["name"] for c in sorted(data["categories"], key=lambda c: c["id"])]
+    if args.classes_json:
+        with open(args.classes_json) as f:
+            cats = json.load(f)
+    elif args.ann:
+        with open(args.ann) as f:
+            data = json.load(f)
+        cats = [c["name"] for c in sorted(data["categories"], key=lambda c: c["id"])]
+    else:
+        parser.error("one of --ann / --classes-json is required")
+    if args.add_background:
+        cats = list(cats) + ["background"]
     emb = build_text_embeddings(model, params, cats)
     np.save(args.out, emb)
     print(f"saved {emb.shape} embeddings to {args.out}")

@@ -1,0 +1,167 @@
+"""AP evaluator, class splits, detection data pipeline, train step."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from clipself_tpu.detector.classes import base_novel_mask, class_weights, coco_split, lvis_split
+from clipself_tpu.detector.data import DetectionDataset, SyntheticDetectionData, collate
+from clipself_tpu.detector.eval_ap import DetectionEvaluator
+
+
+def test_perfect_detections_ap1():
+    ev = DetectionEvaluator(num_classes=3)
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        gt = rng.uniform(0, 100, (5, 2))
+        gt = np.concatenate([gt, gt + rng.uniform(10, 40, (5, 2))], -1).astype(np.float32)
+        labels = rng.integers(0, 3, 5)
+        ev.add_image(gt, np.linspace(0.9, 0.5, 5), labels, gt, labels)
+    m = ev.summarize()
+    assert m["mAP"] == pytest.approx(1.0)
+    assert m["AP50"] == pytest.approx(1.0)
+
+
+def test_missed_and_false_positive():
+    ev = DetectionEvaluator(num_classes=1)
+    gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    # one perfect hit (higher score) + one false positive far away
+    det = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+    ev.add_image(det, np.array([0.9, 0.8]), np.zeros(2, int), gt, np.zeros(2, int))
+    m = ev.summarize()
+    # precision@recall: 1 tp of 2 gts -> recall 0.5 with precision 1 up to
+    # there; AP = 0.5 (101-pt: ~0.5 within interpolation error)
+    assert m["AP50"] == pytest.approx(0.5, abs=0.01)
+
+
+def test_ignore_gt_not_counted():
+    ev = DetectionEvaluator(num_classes=1)
+    gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    ignore = np.array([False, True])
+    det = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    ev.add_image(det, np.array([0.9, 0.8]), np.zeros(2, int), gt, np.zeros(2, int), ignore)
+    m = ev.summarize()
+    # det matching the ignored gt is neither tp nor fp; the real gt is found
+    assert m["AP50"] == pytest.approx(1.0)
+
+
+def test_localization_quality_thresholds():
+    ev = DetectionEvaluator(num_classes=1)
+    gt = np.array([[0, 0, 10, 10]], np.float32)
+    det = np.array([[0, 0, 10, 8.0]], np.float32)  # IoU 0.8
+    ev.add_image(det, np.array([0.9]), np.zeros(1, int), gt, np.zeros(1, int))
+    m = ev.summarize()
+    assert m["AP50"] == pytest.approx(1.0)
+    assert m["AP75"] == pytest.approx(1.0)
+    assert m["mAP"] == pytest.approx(7 / 10, abs=0.01)  # thresholds .5..0.8 hit
+
+
+def test_class_splits():
+    coco = coco_split()
+    assert len(coco["all"]) == 65 and len(coco["seen"]) == 48 and len(coco["unseen"]) == 17
+    lvis = lvis_split()
+    assert len(lvis["all"]) == 1203
+    assert len(lvis["freq_groups"]["rare"]) == 337
+    w = class_weights("coco", 0.6)
+    assert w.shape == (66,) and w[-1] == 0.6 and (w[:-1] == 0).sum() == 17
+    wl = class_weights("lvis", 0.9)
+    assert wl.shape == (1204,) and (wl[:-1] == 0).sum() == len(lvis["freq_groups"]["rare"])
+    bm = base_novel_mask("coco")
+    assert bm.shape == (66,) and bm[-1] and (~bm).sum() == 17
+
+
+@pytest.fixture()
+def tiny_coco(tmp_path):
+    imgs = []
+    anns = []
+    for i in range(3):
+        arr = (np.random.default_rng(i).uniform(0, 255, (48, 64, 3))).astype(np.uint8)
+        name = f"im{i}.jpg"
+        Image.fromarray(arr).save(tmp_path / name)
+        imgs.append({"id": i, "file_name": name, "width": 64, "height": 48})
+        anns.append(
+            {
+                "id": 10 + i, "image_id": i, "category_id": 1,
+                "bbox": [4, 4, 20, 16], "area": 320, "iscrowd": 0,
+                "segmentation": [[4, 4, 24, 4, 24, 20, 4, 20]],
+            }
+        )
+    cats = [{"id": 1, "name": "person"}, {"id": 2, "name": "skateboard"}]
+    js = {"images": imgs, "annotations": anns, "categories": cats}
+    path = tmp_path / "ann.json"
+    path.write_text(json.dumps(js))
+    return str(path), str(tmp_path)
+
+
+def test_detection_dataset_train_eval(tiny_coco):
+    ann, root = tiny_coco
+    names = ["person", "skateboard"]
+    ds = DetectionDataset(ann, root, names, image_size=32, max_gt=4, train=True, with_mask=True)
+    assert len(ds) == 3
+    it = ds[0]
+    assert it["images"].shape == (32, 32, 3)
+    assert it["gt_boxes"].shape == (4, 4)
+    assert it["gt_masks"].shape == (4, 8, 8)
+    # determinism per (seed, epoch, idx)
+    it2 = ds[0]
+    np.testing.assert_array_equal(it["images"], it2["images"])
+    ds.set_epoch(1)
+    it3 = ds[0]
+    assert not np.array_equal(it["images"], it3["images"])
+
+    ev = DetectionDataset(ann, root, names, image_size=32, max_gt=4, train=False)
+    item = ev[0]
+    s = float(item["scale"])
+    assert s == pytest.approx(0.5)
+    assert item["gt_valid"].sum() == 1
+    np.testing.assert_allclose(item["gt_boxes"][0], np.array([4, 4, 24, 20]) * s)
+    b = collate([ev[0], ev[1]])
+    assert b["images"].shape == (2, 32, 32, 3)
+
+
+def test_synthetic_detection_data():
+    d = SyntheticDetectionData(6, image_size=32, max_gt=4, with_mask=True)
+    b = d.batch(2)
+    assert b["images"].shape == (2, 32, 32, 3)
+    assert b["gt_masks"].shape == (2, 4, 8, 8)
+
+
+def test_det_train_step_decreases_loss():
+    from tests.test_detector_model import DET_CFG, TINY_CLIP
+    from clipself_tpu.detector.fvit import FViTDetector
+    from clipself_tpu.detector.train import (
+        DetTrainState,
+        build_det_optimizer,
+        make_det_train_step,
+    )
+    from clipself_tpu.models.factory import create_model
+
+    clip_model, clip_params = create_model(TINY_CLIP, dtype=jnp.float32)
+    det = FViTDetector(DET_CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ce = rng.normal(size=(DET_CFG.num_classes + 1, 32)).astype(np.float32)
+    ce = jnp.asarray(ce / np.linalg.norm(ce, axis=-1, keepdims=True))
+
+    data = SyntheticDetectionData(DET_CFG.num_classes, image_size=64, max_gt=5)
+    batch = {k: jnp.asarray(v) for k, v in data.batch(2).items() if k not in ("scale", "image_id")}
+    taps, _ = clip_model.apply(
+        {"params": clip_params}, batch["images"], DET_CFG.out_indices, False,
+        method="visual_taps",
+    )
+    rois = jnp.asarray([[[4.0, 4.0, 30.0, 30.0]], [[8.0, 8.0, 40.0, 50.0]]])
+    det_params = det.init(jax.random.PRNGKey(1), taps, rois, ce)["params"]
+
+    tx = build_det_optimizer(1e-3)
+    state = DetTrainState.create(det_params, tx)
+    step = make_det_train_step(det, clip_model, tx, DET_CFG, ce, None)
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, clip_params, batch, jax.random.PRNGKey(0))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
