@@ -1,0 +1,246 @@
+"""CoCa: contrastive captioner (CLIP + caption decoder).
+
+Equivalent of the reference's inherited CoCa stack
+(`src/open_clip/coca_model.py`, `src/open_clip/transformer.py:163`
+AttentionalPooler, `src/open_clip/generation_utils.py`) — present in the
+upstream fork for API completeness but unused by the shipped recipes. This
+re-design keeps the same capability surface: a vision trunk pooled by
+learnable attention queries (1 contrastive + N caption queries), a causal
+unimodal text encoder, a cross-attending multimodal decoder producing
+caption logits, a combined contrastive+caption loss, and fixed-shape
+`lax.scan` greedy/top-k generation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clipself_tpu.core.config import CLIPConfig
+from clipself_tpu.models.clip import l2_normalize
+from clipself_tpu.ops.attention import multi_head_attention
+
+Dtype = Any
+
+
+def _ln(name, eps=1e-5):
+    return nn.LayerNorm(epsilon=eps, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+
+
+class AttentionalPooler(nn.Module):
+    """Learnable-query cross attention pooling (reference
+    `transformer.py:163-186`)."""
+
+    d_model: int
+    context_dim: int
+    n_head: int = 8
+    n_queries: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        b = tokens.shape[0]
+        q = self.param(
+            "query", nn.initializers.normal(0.02), (self.n_queries, self.d_model),
+            jnp.float32,
+        )
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        tokens = _ln("ln_k")(tokens).astype(self.dtype)
+        qx = jnp.broadcast_to(q.astype(self.dtype), (b,) + q.shape)
+        qx = _ln("ln_q")(qx).astype(self.dtype)
+        h = self.n_head
+        d = self.d_model // h
+        qh = nn.Dense(self.d_model, name="q_proj", **kw)(qx).reshape(b, -1, h, d)
+        kh = nn.Dense(self.d_model, name="k_proj", **kw)(tokens).reshape(b, -1, h, d)
+        vh = nn.Dense(self.d_model, name="v_proj", **kw)(tokens).reshape(b, -1, h, d)
+        out = multi_head_attention(qh, kh, vh, d ** -0.5)
+        out = out.reshape(b, self.n_queries, self.d_model)
+        return nn.Dense(self.d_model, name="out_proj", **kw)(out)
+
+
+class MultimodalBlock(nn.Module):
+    """Causal self-attention + cross-attention to image queries + MLP."""
+
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        w = self.width
+        self.ln_1 = _ln("ln_1")
+        self.self_qkv = nn.Dense(3 * w, name="self_qkv", **kw)
+        self.self_out = nn.Dense(w, name="self_out", **kw)
+        self.ln_1_kv = _ln("ln_1_kv")
+        self.cross_q = nn.Dense(w, name="cross_q", **kw)
+        self.cross_k = nn.Dense(w, name="cross_k", **kw)
+        self.cross_v = nn.Dense(w, name="cross_v", **kw)
+        self.cross_out = nn.Dense(w, name="cross_out", **kw)
+        self.ln_2 = _ln("ln_2")
+        self.c_fc = nn.Dense(4 * w, name="c_fc", **kw)
+        self.c_proj = nn.Dense(w, name="c_proj", **kw)
+
+    def _heads(self, x, h):
+        b, n, _ = x.shape
+        return x.reshape(b, n, h, self.width // h)
+
+    def __call__(self, x, img_tokens, causal_mask):
+        h = self.heads
+        d = self.width // h
+        y = self.ln_1(x).astype(self.dtype)
+        q, k, v = jnp.split(self.self_qkv(y), 3, axis=-1)
+        attn = multi_head_attention(
+            self._heads(q, h), self._heads(k, h), self._heads(v, h), d ** -0.5,
+            mask=causal_mask,
+        ).reshape(x.shape)
+        x = x + self.self_out(attn)
+        y = self.ln_1_kv(x).astype(self.dtype)
+        ki = self.ln_1_kv(img_tokens).astype(self.dtype)
+        cross = multi_head_attention(
+            self._heads(self.cross_q(y), h),
+            self._heads(self.cross_k(ki), h),
+            self._heads(self.cross_v(ki), h),
+            d ** -0.5,
+        ).reshape(x.shape)
+        x = x + self.cross_out(cross)
+        y = self.ln_2(x).astype(self.dtype)
+        return x + self.c_proj(nn.gelu(self.c_fc(y), approximate=False))
+
+
+class CoCa(nn.Module):
+    """Contrastive captioner over any of this framework's vision towers."""
+
+    cfg: CLIPConfig
+    multimodal_layers: int = 6
+    caption_queries: int = 255
+    pad_id: int = 0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        from clipself_tpu.models.clip import CLIP
+
+        c = self.cfg
+        self.clip = CLIP(c, dtype=self.dtype, name="clip")
+        width = c.text.width
+        self.img_pooler = AttentionalPooler(
+            d_model=width, context_dim=c.vision.width, n_head=c.text.heads,
+            n_queries=self.caption_queries + 1, dtype=self.dtype, name="img_pooler",
+        )
+        self.img_proj = nn.Dense(
+            width, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            name="img_proj",
+        )
+        self.contrastive_proj = nn.Dense(
+            c.embed_dim, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            name="contrastive_proj",
+        )
+        self.mm_blocks = [
+            MultimodalBlock(width, c.text.heads, dtype=self.dtype, name=f"mm_{i}")
+            for i in range(self.multimodal_layers)
+        ]
+        self.ln_mm = _ln("ln_mm")
+        self.to_logits = nn.Dense(
+            c.text.vocab_size, use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="to_logits",
+        )
+
+    def _image_tokens(self, image):
+        """Vision trunk token sequence -> (contrastive embed, caption tokens)."""
+        visual = self.clip.visual
+        t, grid = visual.embed(image)
+        for blk in visual.blocks:
+            t = blk(t, grid, None)
+        t = visual.norm(t).astype(self.dtype)
+        pooled = self.img_pooler(self.img_proj(t))
+        contrastive = l2_normalize(self.contrastive_proj(pooled[:, 0]))
+        return contrastive, pooled[:, 1:]
+
+    def _text_tokens(self, text):
+        """Causal unimodal text features [B, L, W] (no pooling)."""
+        tt = self.clip.text
+        return tt.features(text)
+
+    def __call__(self, image, text):
+        img_embed, img_tokens = self._image_tokens(image)
+        feats = self._text_tokens(text)
+        txt_embed = l2_normalize(self.clip.text.project(feats, text))
+        n = text.shape[1]
+        causal = jnp.triu(jnp.full((n, n), -1e9, jnp.float32), 1)[None, None]
+        x = feats
+        for blk in self.mm_blocks:
+            x = blk(x, img_tokens, causal)
+        logits = self.to_logits(self.ln_mm(x).astype(self.dtype))
+        return {
+            "image_features": img_embed,
+            "text_features": txt_embed,
+            "logits": logits,
+            "logit_scale": jnp.exp(self.clip.logit_scale),
+        }
+
+
+def coca_loss(out: dict, text: jnp.ndarray, caption_weight: float = 2.0,
+              contrastive_weight: float = 1.0, pad_id: int = 0):
+    """Contrastive + shifted caption CE (reference `CoCaLoss`,
+    `src/open_clip/loss.py:134-173`)."""
+    from clipself_tpu.train.contrastive import clip_loss
+
+    con = clip_loss(out["image_features"], out["text_features"], out["logit_scale"])
+    logits = out["logits"][:, :-1]
+    labels = text[:, 1:]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    mask = (labels != pad_id).astype(jnp.float32)
+    cap = (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    return contrastive_weight * con + caption_weight * cap, {
+        "contrastive_loss": con, "caption_loss": cap,
+    }
+
+
+def generate(
+    model: CoCa,
+    params,
+    image: jnp.ndarray,
+    sot_id: int,
+    eot_id: int,
+    max_len: int = 77,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    rng: Optional[jax.Array] = None,
+):
+    """Fixed-shape autoregressive caption generation (reference
+    `generation_utils.py` / `CoCa.generate`): greedy when top_k == 0, else
+    top-k sampling; runs as a `lax.scan` over positions with a static-length
+    token buffer (TPU-friendly — no dynamic shapes, one compile).
+    """
+    b = image.shape[0]
+    tokens0 = jnp.full((b, max_len), model.pad_id, jnp.int32).at[:, 0].set(sot_id)
+
+    def logits_fn(tokens):
+        out = model.apply({"params": params}, image, tokens)
+        return out["logits"]
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def step(carry, pos):
+        tokens, done, key = carry
+        logits = logits_fn(tokens)[:, pos - 1] / max(temperature, 1e-6)
+        if top_k > 0:
+            kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+            logits = jnp.where(logits < kth, -1e9, logits)
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, logits)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = jnp.where(done, model.pad_id, nxt)
+        tokens = tokens.at[:, pos].set(nxt)
+        done = done | (nxt == eot_id)
+        return (tokens, done, key), None
+
+    (tokens, _, _), _ = jax.lax.scan(
+        step, (tokens0, jnp.zeros((b,), bool), rng), jnp.arange(1, max_len)
+    )
+    return tokens

@@ -1,0 +1,106 @@
+"""HuggingFace text towers for CLIP (roberta/mT5-style text encoders).
+
+Equivalent of the reference `src/open_clip/hf_model.py:83-176`
+(`HFTextEncoder`: AutoModel trunk + {mean, cls, last-token} pooling + a
+linear/MLP projection into the CLIP joint space), rebuilt on transformers'
+Flax model classes so the whole tower stays inside one jitted graph.
+
+Gated: environments without Flax-transformers support raise a clear error at
+construction, not import.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def _hf_flax_module(model_name_or_config, hf_config_kwargs: Optional[dict] = None):
+    try:
+        from transformers import AutoConfig, FlaxAutoModel
+    except Exception as e:  # pragma: no cover
+        raise RuntimeError(
+            "transformers with Flax support is required for HF text towers"
+        ) from e
+    if isinstance(model_name_or_config, str) and "/" not in model_name_or_config:
+        cfg = AutoConfig.for_model(model_name_or_config, **(hf_config_kwargs or {}))
+    elif isinstance(model_name_or_config, str):
+        cfg = AutoConfig.from_pretrained(model_name_or_config)
+    else:
+        cfg = model_name_or_config
+    wrapper = FlaxAutoModel.from_config(cfg)
+    return wrapper.module, cfg
+
+
+class MeanPooler(nn.Module):
+    """Masked mean over tokens (reference `hf_model.py:30-38`)."""
+
+    @nn.compact
+    def __call__(self, hidden, attention_mask):
+        m = attention_mask[..., None].astype(hidden.dtype)
+        return (hidden * m).sum(1) / jnp.maximum(m.sum(1), 1e-6)
+
+
+class ClsPooler(nn.Module):
+    @nn.compact
+    def __call__(self, hidden, attention_mask):
+        return hidden[:, 0]
+
+
+class LastPooler(nn.Module):
+    """Feature of the last non-padding token."""
+
+    @nn.compact
+    def __call__(self, hidden, attention_mask):
+        idx = jnp.maximum(attention_mask.sum(1) - 1, 0).astype(jnp.int32)
+        return jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+
+
+_POOLERS = {"mean_pooler": MeanPooler, "cls_pooler": ClsPooler, "last_pooler": LastPooler}
+
+
+class HFTextTower(nn.Module):
+    """AutoModel trunk + pooler + projection into the joint space."""
+
+    model_type_or_name: str
+    output_dim: int
+    pooler_type: str = "mean_pooler"
+    proj: str = "linear"  # 'linear' | 'mlp'
+    hf_config_kwargs: Optional[dict] = None
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.trunk, self.hf_config = _hf_flax_module(
+            self.model_type_or_name, self.hf_config_kwargs
+        )
+        self.pooler = _POOLERS[self.pooler_type](name="pooler")
+        width = getattr(self.hf_config, "hidden_size", None) or self.hf_config.d_model
+        if self.proj == "linear":
+            self.projection = nn.Dense(
+                self.output_dim, use_bias=False, dtype=self.dtype,
+                param_dtype=jnp.float32, name="proj",
+            )
+        elif self.proj == "mlp":
+            hidden = (width + self.output_dim) // 2
+            self.projection = nn.Sequential(
+                [
+                    nn.Dense(hidden, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32),
+                    nn.gelu,
+                    nn.Dense(self.output_dim, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32),
+                ],
+                name="proj",
+            )
+        else:
+            raise ValueError(f"unknown proj {self.proj!r}")
+
+    def __call__(self, input_ids: jnp.ndarray, attention_mask: Optional[jnp.ndarray] = None):
+        if attention_mask is None:
+            attention_mask = (input_ids != 0).astype(jnp.int32)
+        out = self.trunk(input_ids=input_ids, attention_mask=attention_mask)
+        hidden = out.last_hidden_state
+        pooled = self.pooler(hidden, attention_mask)
+        return self.projection(pooled)

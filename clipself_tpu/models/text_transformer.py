@@ -84,12 +84,13 @@ class TextTransformer(nn.Module):
             jnp.float32,
         )
 
-    def __call__(self, text: jnp.ndarray) -> jnp.ndarray:
-        """text: [B, ctx] int32 token ids -> [B, embed_dim] (not normalized)."""
+    def features(self, text: jnp.ndarray) -> jnp.ndarray:
+        """Per-token features [B, ctx, width] after the final LN (used by the
+        CoCa multimodal decoder as the unimodal stream)."""
         c = self.cfg
-        x = self.token_embedding(text).astype(self.dtype)
-        x = x + self.positional_embedding.astype(self.dtype)
         n = text.shape[1]
+        x = self.token_embedding(text).astype(self.dtype)
+        x = x + self.positional_embedding[:n].astype(self.dtype)
         if c.attn_mask:
             causal = jnp.triu(jnp.full((n, n), -jnp.inf, dtype=jnp.float32), k=1)
             mask = causal[None, None]
@@ -97,8 +98,14 @@ class TextTransformer(nn.Module):
             mask = None
         for blk in self.blocks:
             x = blk(x, mask)
-        x = self.ln_final(x).astype(self.dtype)
-        # pool at the EOT token = the highest token id position
+        return self.ln_final(x).astype(self.dtype)
+
+    def project(self, feats: jnp.ndarray, text: jnp.ndarray) -> jnp.ndarray:
+        """EOT-pool (highest token id position) + projection."""
         eot = jnp.argmax(text, axis=-1)
-        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        pooled = jnp.take_along_axis(feats, eot[:, None, None], axis=1)[:, 0]
         return pooled @ self.text_projection.astype(pooled.dtype)
+
+    def __call__(self, text: jnp.ndarray) -> jnp.ndarray:
+        """text: [B, ctx] int32 token ids -> [B, embed_dim] (not normalized)."""
+        return self.project(self.features(text), text)

@@ -1,0 +1,159 @@
+"""Model-zoo breadth: pretrained registry, OpenAI loader, HF towers, CoCa."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipself_tpu.core.config import get_model_config
+from clipself_tpu.models.pretrained import (
+    get_pretrained_cfg,
+    list_pretrained,
+    list_pretrained_tags_by_model,
+    resolve_pretrained,
+)
+
+
+def test_pretrained_registry():
+    assert ("EVA02-CLIP-B-16", "eva") in list_pretrained()
+    assert "openai" in list_pretrained_tags_by_model("ViT-B-16")
+    cfg = get_pretrained_cfg("EVA02-CLIP-B-16", "EVA")  # case-insensitive tag
+    assert cfg["hf_hub"] == "QuanSun/EVA-CLIP"
+    with pytest.raises(FileNotFoundError):
+        resolve_pretrained("ViT-B-16", "not-a-tag-or-path")
+
+
+def test_resolve_local_path(tmp_path):
+    p = tmp_path / "ckpt.pt"
+    p.write_bytes(b"x")
+    assert resolve_pretrained("anything", str(p)) == str(p)
+
+
+def test_openai_config_inference_and_remap():
+    import torch
+
+    from clipself_tpu.models.openai import (
+        config_from_openai_state_dict,
+        load_openai_state_dict,
+        remap_openai_keys,
+    )
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import export_state_dict
+
+    # build an OpenCLIP-ViT state dict via our own exporter, then strip the
+    # 'text.' prefix to emulate the OpenAI layout
+    cfg = get_model_config("ViT-Tiny-Test")
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = export_state_dict(params, cfg)
+    openai_sd = {}
+    for k, v in sd.items():
+        openai_sd[k[5:] if k.startswith("text.") else k] = v
+    inferred = config_from_openai_state_dict(openai_sd)
+    assert inferred.embed_dim == cfg.embed_dim
+    assert inferred.vision.layers == cfg.vision.layers
+    assert inferred.vision.width == cfg.vision.width
+    assert inferred.vision.patch_size == cfg.vision.patch_size
+    assert inferred.text.layers == cfg.text.layers
+    assert inferred.text.vocab_size == cfg.text.vocab_size
+    remapped = remap_openai_keys(openai_sd)
+    assert set(remapped) == set(sd)
+
+    # full round trip through a (plain torch, non-jit) checkpoint file
+    import tempfile, os
+
+    from clipself_tpu.models.openai import load_openai_model
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "openai.pt")
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in openai_sd.items()}, path)
+        m2, p2 = load_openai_model(path, dtype=jnp.float32)
+        a = np.asarray(params["visual"]["proj"])
+        b = np.asarray(p2["visual"]["proj"])
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_hf_text_tower():
+    from clipself_tpu.models.hf_text import HFTextTower
+
+    tower = HFTextTower(
+        "bert", output_dim=16, pooler_type="mean_pooler",
+        hf_config_kwargs=dict(
+            hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=64, vocab_size=100, max_position_embeddings=32,
+        ),
+    )
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 100, (2, 8)), jnp.int32)
+    params = tower.init(jax.random.PRNGKey(0), ids)["params"]
+    out = jax.jit(lambda p, x: tower.apply({"params": p}, x))(params, ids)
+    assert out.shape == (2, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_trunk_adapter_dense_protocol():
+    from clipself_tpu.models.trunk_adapter import FlaxTrunkAdapter
+
+    adapter = FlaxTrunkAdapter(
+        "vit", embed_dim=16,
+        hf_config_kwargs=dict(
+            hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=64, image_size=32, patch_size=8, num_channels=3,
+        ),
+    )
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    params = adapter.init(jax.random.PRNGKey(0), img)["params"]
+    emb = adapter.apply({"params": params}, img)
+    assert emb.shape == (2, 16)
+    dense = adapter.apply({"params": params}, img, method="encode_dense")
+    assert dense.shape == (2, 4, 4, 16)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(dense), axis=-1), 1.0, atol=1e-3
+    )
+    boxes = jnp.asarray([[[0.1, 0.1, 0.9, 0.9]]] * 2)
+    rois = adapter.apply({"params": params}, img, boxes, method="extract_roi_features")
+    assert rois.shape == (2, 1, 16)
+    masks = jnp.ones((2, 1, 4, 4))
+    mp = adapter.apply({"params": params}, img, masks, method="mask_pool")
+    assert mp.shape == (2, 1, 16)
+
+
+@pytest.fixture(scope="module")
+def coca_setup():
+    from clipself_tpu.models.coca import CoCa
+
+    cfg = get_model_config("EVA02-CLIP-Tiny-Test")
+    model = CoCa(cfg, multimodal_layers=2, caption_queries=7, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    txt = jnp.asarray(rng.integers(1, cfg.text.vocab_size, (2, 16)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), img, txt)["params"]
+    return model, params, img, txt, cfg
+
+
+def test_coca_forward_and_loss(coca_setup):
+    from clipself_tpu.models.coca import coca_loss
+
+    model, params, img, txt, cfg = coca_setup
+    out = jax.jit(lambda p: model.apply({"params": p}, img, txt))(params)
+    assert out["image_features"].shape == (2, cfg.embed_dim)
+    assert out["text_features"].shape == (2, cfg.embed_dim)
+    assert out["logits"].shape == (2, 16, cfg.text.vocab_size)
+    loss, metrics = coca_loss(out, txt)
+    assert np.isfinite(float(loss))
+    assert float(metrics["caption_loss"]) > 0
+
+
+def test_coca_generate(coca_setup):
+    from clipself_tpu.models.coca import generate
+
+    model, params, img, _, cfg = coca_setup
+    tokens = generate(model, params, img, sot_id=1, eot_id=2, max_len=8)
+    tokens = np.asarray(tokens)
+    assert tokens.shape == (2, 8)
+    assert (tokens[:, 0] == 1).all()
+    # sampling path
+    tokens2 = generate(
+        model, params, img, sot_id=1, eot_id=2, max_len=8, top_k=5,
+        rng=jax.random.PRNGKey(3),
+    )
+    assert tokens2.shape == (2, 8)
