@@ -1,0 +1,148 @@
+"""ctypes bindings for the native C++ loader core (`native/loader.cc`).
+
+The native library supplies the host-side hot path of the data pipelines —
+JPEG/PNG decode + antialiased resize + crop + normalize + pad, executed by a
+C++ thread pool writing into caller-owned float32 buffers. Python falls back
+to the PIL implementations in `clipself_tpu.data.transforms` when the shared
+library has not been built (`make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libclipself_loader.so"
+_lib = None
+
+
+def build_native(quiet: bool = True) -> bool:
+    """Compile the shared library in-tree. Returns success."""
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=quiet,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.csl_pool_create.restype = ctypes.c_void_p
+    lib.csl_pool_create.argtypes = [ctypes.c_int]
+    lib.csl_pool_destroy.argtypes = [ctypes.c_void_p]
+    lib.csl_pool_wait.restype = ctypes.c_int
+    lib.csl_pool_wait.argtypes = [ctypes.c_void_p]
+    lib.csl_decode.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.csl_decode.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.csl_free.argtypes = [ctypes.c_void_p]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.csl_submit_distill_item.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, f32p, f32p, f32p, f32p,
+    ]
+    lib.csl_submit_resize_pad.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, f32p, f32p, f32p, f32p,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode(path: str) -> Optional[np.ndarray]:
+    """Decode an image file to an RGB uint8 [H, W, 3] array."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    buf = lib.csl_decode(path.encode(), ctypes.byref(w), ctypes.byref(h))
+    if not buf:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(buf, shape=(h.value, w.value, 3)).copy()
+    finally:
+        lib.csl_free(buf)
+    return arr
+
+
+class NativePool:
+    """Thread-pool wrapper: submit decode/transform jobs, then wait().
+
+    Buffers passed to submit_* must stay alive until wait() returns.
+    """
+
+    def __init__(self, num_threads: Optional[int] = None):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native loader not built; run `make -C native` or build_native()"
+            )
+        self._lib = lib
+        n = num_threads or max(os.cpu_count() or 1, 1)
+        self._pool = lib.csl_pool_create(n)
+
+    def submit_distill_item(
+        self,
+        path: str,
+        det_out: np.ndarray,
+        crops_out: np.ndarray,
+        crop_boxes: np.ndarray,
+        mean: np.ndarray,
+        std: np.ndarray,
+    ):
+        """det_out: [S, S, 3] f32; crops_out: [M, s, s, 3] f32;
+        crop_boxes: [M, 4] xyxy in original pixel coords."""
+        m = crops_out.shape[0]
+        self._lib.csl_submit_distill_item(
+            self._pool, path.encode(), det_out.shape[0], crops_out.shape[1], m,
+            np.ascontiguousarray(crop_boxes, np.float32),
+            np.ascontiguousarray(mean, np.float32),
+            np.ascontiguousarray(std, np.float32),
+            det_out, crops_out.reshape(-1),
+        )
+
+    def submit_resize_pad(
+        self, path: str, out: np.ndarray, scale_out: np.ndarray,
+        mean: np.ndarray, std: np.ndarray,
+    ):
+        self._lib.csl_submit_resize_pad(
+            self._pool, path.encode(), out.shape[0],
+            np.ascontiguousarray(mean, np.float32),
+            np.ascontiguousarray(std, np.float32),
+            out, scale_out,
+        )
+
+    def wait(self) -> int:
+        """Block until all submitted jobs finish; returns the error count."""
+        return self._lib.csl_pool_wait(self._pool)
+
+    def close(self):
+        if self._pool:
+            self._lib.csl_pool_destroy(self._pool)
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,371 @@
+// clipself_tpu native data-loader core.
+//
+// TPU-native equivalent of the host-side work torch's C++ DataLoader +
+// PIL/torchvision do for the reference pipelines (SURVEY.md §2.5): JPEG/PNG
+// decode, antialiased separable resize (PIL BILINEAR-parity triangle
+// filter), crop, normalize, and pad — executed by a C++ thread pool writing
+// straight into caller-owned float32 buffers that Python hands to
+// jax.device_put. The Python side (clipself_tpu/data/native_loader.py) binds
+// this via ctypes; everything degrades to the pure-PIL path when the shared
+// library is not built.
+//
+// Build: make -C native  (g++ -O3 -shared -fPIC loader.cc -ljpeg -lpng -lpthread)
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+#include <png.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// decoding
+
+struct ImageU8 {
+  std::vector<uint8_t> data;  // HWC RGB
+  int w = 0, h = 0;
+  bool ok = false;
+};
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* mgr = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(mgr->jump, 1);
+}
+
+ImageU8 decode_jpeg_file(const char* path) {
+  ImageU8 out;
+  FILE* f = fopen(path, "rb");
+  if (!f) return out;
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return out;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out.w = cinfo.output_width;
+  out.h = cinfo.output_height;
+  out.data.resize(size_t(out.w) * out.h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out.data.data() + size_t(cinfo.output_scanline) * out.w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  out.ok = true;
+  return out;
+}
+
+ImageU8 decode_png_file(const char* path) {
+  ImageU8 out;
+  FILE* f = fopen(path, "rb");
+  if (!f) return out;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return out;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  png_set_expand(png);          // palette/gray->8bit
+  png_set_strip_16(png);        // 16bit -> 8bit
+  png_set_strip_alpha(png);     // drop alpha
+  png_set_gray_to_rgb(png);     // gray -> rgb
+  png_read_update_info(png, info);
+  out.w = png_get_image_width(png, info);
+  out.h = png_get_image_height(png, info);
+  out.data.resize(size_t(out.w) * out.h * 3);
+  std::vector<png_bytep> rows(out.h);
+  for (int y = 0; y < out.h; ++y) rows[y] = out.data.data() + size_t(y) * out.w * 3;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  out.ok = true;
+  return out;
+}
+
+ImageU8 decode_file(const char* path) {
+  size_t n = strlen(path);
+  if (n >= 4 && (strcasecmp(path + n - 4, ".png") == 0)) return decode_png_file(path);
+  ImageU8 img = decode_jpeg_file(path);
+  if (!img.ok) img = decode_png_file(path);  // extension lied; try png
+  return img;
+}
+
+// ---------------------------------------------------------------------------
+// antialiased separable resize (PIL BILINEAR parity: triangle filter whose
+// support scales with the downscale factor)
+
+struct FilterWeights {
+  std::vector<int> bounds;     // [out] first source index
+  std::vector<int> counts;     // [out] number of taps
+  std::vector<float> weights;  // [out * max_taps]
+  int max_taps = 0;
+};
+
+FilterWeights triangle_weights(int in_size, int out_size, float crop_lo, float crop_len) {
+  FilterWeights fw;
+  double scale = double(crop_len) / out_size;
+  double support = std::max(1.0, scale);  // triangle filter support * scale
+  fw.max_taps = int(std::ceil(support * 2)) + 2;
+  fw.bounds.resize(out_size);
+  fw.counts.resize(out_size);
+  fw.weights.assign(size_t(out_size) * fw.max_taps, 0.f);
+  for (int i = 0; i < out_size; ++i) {
+    double center = crop_lo + (i + 0.5) * scale;
+    int lo = std::max(0, int(std::floor(center - support)));
+    int hi = std::min(in_size, int(std::ceil(center + support)));
+    double total = 0.0;
+    int cnt = hi - lo;
+    for (int k = 0; k < cnt; ++k) {
+      double x = (lo + k + 0.5 - center) / std::max(scale, 1.0);
+      double w = std::max(0.0, 1.0 - std::abs(x));
+      fw.weights[size_t(i) * fw.max_taps + k] = float(w);
+      total += w;
+    }
+    if (total > 0) {
+      for (int k = 0; k < cnt; ++k) fw.weights[size_t(i) * fw.max_taps + k] /= float(total);
+    }
+    fw.bounds[i] = lo;
+    fw.counts[i] = cnt;
+  }
+  return fw;
+}
+
+// resize a crop window of src (u8 HWC) to dw x dh float HWC (0..255 range)
+void resize_crop(const uint8_t* src, int sw, int sh, float x0, float y0, float cw,
+                 float ch, float* dst, int dw, int dh) {
+  FilterWeights fx = triangle_weights(sw, dw, x0, cw);
+  FilterWeights fy = triangle_weights(sh, dh, y0, ch);
+  // horizontal pass into temp [sh, dw, 3]
+  std::vector<float> tmp(size_t(sh) * dw * 3);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + size_t(y) * sw * 3;
+    float* trow = tmp.data() + size_t(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const float* w = fx.weights.data() + size_t(x) * fx.max_taps;
+      int lo = fx.bounds[x], cnt = fx.counts[x];
+      float r = 0, g = 0, b = 0;
+      for (int k = 0; k < cnt; ++k) {
+        const uint8_t* p = row + size_t(lo + k) * 3;
+        r += w[k] * p[0];
+        g += w[k] * p[1];
+        b += w[k] * p[2];
+      }
+      trow[x * 3 + 0] = r;
+      trow[x * 3 + 1] = g;
+      trow[x * 3 + 2] = b;
+    }
+  }
+  // vertical pass
+  for (int y = 0; y < dh; ++y) {
+    const float* w = fy.weights.data() + size_t(y) * fy.max_taps;
+    int lo = fy.bounds[y], cnt = fy.counts[y];
+    float* drow = dst + size_t(y) * dw * 3;
+    for (int x = 0; x < dw * 3; ++x) {
+      float acc = 0;
+      for (int k = 0; k < cnt; ++k) acc += w[k] * tmp[size_t(lo + k) * dw * 3 + x];
+      drow[x] = acc;
+    }
+  }
+}
+
+void normalize_inplace(float* buf, size_t n_px, const float* mean, const float* stdv) {
+  for (size_t i = 0; i < n_px; ++i) {
+    float* p = buf + i * 3;
+    p[0] = (p[0] / 255.f - mean[0]) / stdv[0];
+    p[1] = (p[1] / 255.f - mean[1]) / stdv[1];
+    p[2] = (p[2] / 255.f - mean[2]) / stdv[2];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// thread pool
+
+class Pool {
+ public:
+  explicit Pool(int n) : stop_(false), pending_(0), errors_(0) {
+    for (int i = 0; i < n; ++i) workers_.emplace_back([this] { run(); });
+  }
+  ~Pool() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+  void submit(std::function<bool()> job) {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      jobs_.push(std::move(job));
+      ++pending_;
+    }
+    cv_.notify_one();
+  }
+  int wait_all() {
+    std::unique_lock<std::mutex> lk(mu_);
+    done_cv_.wait(lk, [this] { return pending_ == 0; });
+    return errors_.exchange(0);
+  }
+
+ private:
+  void run() {
+    for (;;) {
+      std::function<bool()> job;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !jobs_.empty(); });
+        if (stop_ && jobs_.empty()) return;
+        job = std::move(jobs_.front());
+        jobs_.pop();
+      }
+      bool ok = false;
+      try {
+        ok = job();
+      } catch (...) {
+      }
+      if (!ok) ++errors_;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        if (--pending_ == 0) done_cv_.notify_all();
+      }
+    }
+  }
+  std::mutex mu_;
+  std::condition_variable cv_, done_cv_;
+  std::queue<std::function<bool()>> jobs_;
+  std::vector<std::thread> workers_;
+  bool stop_;
+  int pending_;
+  std::atomic<int> errors_;
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C API
+
+extern "C" {
+
+void* csl_pool_create(int num_threads) { return new Pool(std::max(1, num_threads)); }
+void csl_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }
+int csl_pool_wait(void* pool) { return static_cast<Pool*>(pool)->wait_all(); }
+
+// Synchronous decode: returns malloc'd RGB u8 buffer (caller frees with
+// csl_free) and writes w/h.
+uint8_t* csl_decode(const char* path, int* w, int* h) {
+  ImageU8 img = decode_file(path);
+  if (!img.ok) return nullptr;
+  auto* buf = static_cast<uint8_t*>(malloc(img.data.size()));
+  memcpy(buf, img.data.data(), img.data.size());
+  *w = img.w;
+  *h = img.h;
+  return buf;
+}
+void csl_free(void* p) { free(p); }
+
+// One distillation item, fully async: decode `path` once, then
+//  - resize longest side to det_size, normalize, pad bottom-right into
+//    det_out [det_size, det_size, 3] (zero padding after normalize=0)
+//  - for each of num_crops boxes (xyxy in ORIGINAL pixel coords), resize the
+//    crop window to crop_size^2 and normalize into crops_out.
+// Mirrors GridDistillDataset/ProposalDistillDataset host work
+// (reference src/training/data.py:226-277).
+int csl_submit_distill_item(void* pool, const char* path, int det_size, int crop_size,
+                            int num_crops, const float* crop_boxes, const float* mean,
+                            const float* stdv, float* det_out, float* crops_out) {
+  std::string p(path);
+  std::vector<float> boxes(crop_boxes, crop_boxes + size_t(num_crops) * 4);
+  std::vector<float> m(mean, mean + 3), s(stdv, stdv + 3);
+  static_cast<Pool*>(pool)->submit([=]() -> bool {
+    ImageU8 img = decode_file(p.c_str());
+    if (!img.ok) return false;
+    float scale = float(det_size) / std::max(img.w, img.h);
+    int nw = std::max(1, int(std::round(img.w * scale)));
+    int nh = std::max(1, int(std::round(img.h * scale)));
+    std::vector<float> resized(size_t(nw) * nh * 3);
+    resize_crop(img.data.data(), img.w, img.h, 0, 0, float(img.w), float(img.h),
+                resized.data(), nw, nh);
+    normalize_inplace(resized.data(), size_t(nw) * nh, m.data(), s.data());
+    memset(det_out, 0, size_t(det_size) * det_size * 3 * sizeof(float));
+    for (int y = 0; y < nh; ++y)
+      memcpy(det_out + size_t(y) * det_size * 3, resized.data() + size_t(y) * nw * 3,
+             size_t(nw) * 3 * sizeof(float));
+    for (int c = 0; c < num_crops; ++c) {
+      float x0 = boxes[c * 4 + 0], y0 = boxes[c * 4 + 1];
+      float x1 = boxes[c * 4 + 2], y1 = boxes[c * 4 + 3];
+      x0 = std::max(0.f, x0);
+      y0 = std::max(0.f, y0);
+      x1 = std::min(float(img.w), x1);
+      y1 = std::min(float(img.h), y1);
+      float cw = std::max(1.f, x1 - x0), ch = std::max(1.f, y1 - y0);
+      float* out = crops_out + size_t(c) * crop_size * crop_size * 3;
+      resize_crop(img.data.data(), img.w, img.h, x0, y0, cw, ch, out, crop_size,
+                  crop_size);
+      normalize_inplace(out, size_t(crop_size) * crop_size, m.data(), s.data());
+    }
+    return true;
+  });
+  return 0;
+}
+
+// Generic: decode + keep-ratio resize into a padded square target
+// (detector eval path). Writes the applied scale into *scale_out.
+int csl_submit_resize_pad(void* pool, const char* path, int target, const float* mean,
+                          const float* stdv, float* out, float* scale_out) {
+  std::string p(path);
+  std::vector<float> m(mean, mean + 3), s(stdv, stdv + 3);
+  static_cast<Pool*>(pool)->submit([=]() -> bool {
+    ImageU8 img = decode_file(p.c_str());
+    if (!img.ok) return false;
+    float scale = float(target) / std::max(img.w, img.h);
+    int nw = std::max(1, int(std::round(img.w * scale)));
+    int nh = std::max(1, int(std::round(img.h * scale)));
+    std::vector<float> resized(size_t(nw) * nh * 3);
+    resize_crop(img.data.data(), img.w, img.h, 0, 0, float(img.w), float(img.h),
+                resized.data(), nw, nh);
+    normalize_inplace(resized.data(), size_t(nw) * nh, m.data(), s.data());
+    memset(out, 0, size_t(target) * target * 3 * sizeof(float));
+    for (int y = 0; y < nh; ++y)
+      memcpy(out + size_t(y) * target * 3, resized.data() + size_t(y) * nw * 3,
+             size_t(nw) * 3 * sizeof(float));
+    *scale_out = scale;
+    return true;
+  });
+  return 0;
+}
+
+}  // extern "C"
