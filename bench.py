@@ -24,6 +24,16 @@ BASELINE_PER_CHIP = 250.0  # 2000 img/s on v5e-8 (BASELINE.md)
 
 def main():
     import jax
+
+    # persistent compilation cache: repeated bench runs skip the (slow)
+    # remote compile
+    cache_dir = os.environ.get("JAX_COMPILE_CACHE", "/root/.cache/jax_compilation")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from clipself_tpu.core.config import get_model_config

@@ -45,6 +45,7 @@ class VisionConfig:
     xattn: bool = False  # kept for config parity; attention impl is chosen at runtime
     fusedLN: bool = False  # LayerNorm is always XLA-fused on TPU; kept for parity
     global_average_pool: bool = False
+    quick_gelu: bool = False
     eva_model_name: Optional[str] = None
     # when set, the tower is a CLIP ModifiedResNet with these stage depths
     # (the reference keys this on `layers` being a list, model.py:143-151)
@@ -79,6 +80,7 @@ class TextConfig:
     xattn: bool = False
     fusedLN: bool = False
     attn_mask: bool = True
+    quick_gelu: bool = False
     ln_eps: float = 1e-5
 
 

@@ -68,6 +68,10 @@ class _DistillBase:
     def _rng(self, idx: int) -> np.random.Generator:
         return np.random.default_rng((self.seed, self.epoch, idx))
 
+    def plan_item(self, idx: int):
+        """Native-loader plan; None = this dataset/item needs the PIL path."""
+        return None
+
     def _read(self, idx: int) -> tuple[Optional[Image.Image], int]:
         """Read image for idx; on failure resample like the reference
         (`data.py:94-97`) but deterministically."""
@@ -125,6 +129,54 @@ class GridDistillDataset(_DistillBase):
         x0, y0 = np.meshgrid(xs[:-1], ys[:-1])
         x1, y1 = np.meshgrid(xs[1:], ys[1:])
         return np.stack([x0, y0, x1, y1], axis=-1).reshape(-1, 4).astype(np.float32)
+
+    def _plan_grid(self, rng, img_w: int, img_h: int):
+        """Sample the grid and produce (pixel boxes, crop windows). Pure
+        metadata — usable without decoding the image."""
+        m, n = self.choices[int(rng.integers(0, len(self.choices)))]
+        normed = self._grid_boxes(m, n)
+        order = rng.permutation(len(normed))[: self.max_anns]
+        boxes_px = normed[order] * np.asarray([img_w, img_h, img_w, img_h], np.float32)
+        crop_windows = boxes_px.copy()
+        if self.crop_scale > 1.0:
+            cx = (boxes_px[:, 0] + boxes_px[:, 2]) / 2
+            cy = (boxes_px[:, 1] + boxes_px[:, 3]) / 2
+            bw = boxes_px[:, 2] - boxes_px[:, 0]
+            bh = boxes_px[:, 3] - boxes_px[:, 1]
+            d = 0.5 * self.crop_scale
+            crop_windows = np.stack(
+                [
+                    np.clip(cx - bw * d, 0, None), np.clip(cy - bh * d, 0, None),
+                    np.clip(cx + bw * d, None, img_w), np.clip(cy + bh * d, None, img_h),
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        return boxes_px, crop_windows
+
+    def plan_item(self, idx: int) -> Optional[dict]:
+        """Native-loader plan: (path, normalized padded-frame boxes, pixel
+        crop windows) computed from COCO JSON width/height alone. Returns
+        None when the item needs the PIL path (pre_transforms enabled or
+        missing size metadata)."""
+        if self.pre is not None:
+            return None
+        image_id = self.image_ids[idx]
+        info = self.coco.imgs[image_id]
+        img_w, img_h = info.get("width"), info.get("height")
+        if not img_w or not img_h:
+            return None
+        rng = self._rng(idx)
+        boxes_px, crop_windows = self._plan_grid(rng, img_w, img_h)
+        boxes_out = np.zeros((self.max_anns, 5), np.float32)
+        k = len(boxes_px)
+        scale = get_scale((img_w, img_h), self.det_size)
+        boxes_out[:k, :4] = boxes_px * scale / self.det_size
+        boxes_out[:k, 4] = 1.0
+        return {
+            "path": os.path.join(self.image_root, self.coco.file_name(image_id)),
+            "boxes": boxes_out,
+            "crop_windows": crop_windows,
+        }
 
     def __getitem__(self, idx: int) -> dict:
         img, idx = self._read(int(idx))

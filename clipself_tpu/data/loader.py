@@ -77,6 +77,83 @@ def device_prefetch(
         yield out
 
 
+class NativeDistillLoader:
+    """Batch iterator over a distill dataset using the C++ loader core.
+
+    Items whose `plan_item` is available (grid mode without pre-transforms)
+    are decoded/resized/normalized by the native thread pool straight into
+    the batch buffers; anything else — including decode failures — falls back
+    to the dataset's PIL `__getitem__`. Yields the same dict schema as the
+    grain loader.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_threads: Optional[int] = None,
+        crop_size: Optional[int] = None,
+    ):
+        from clipself_tpu.core.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+        from clipself_tpu.data.native_loader import NativePool, available
+
+        if not available():
+            raise RuntimeError("native loader not built; run `make -C native`")
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.pool = NativePool(num_threads)
+        self.mean = np.asarray(OPENAI_DATASET_MEAN, np.float32)
+        self.std = np.asarray(OPENAI_DATASET_STD, np.float32)
+        self.crop_size = crop_size or dataset.crop_size
+
+    def __iter__(self):
+        b = self.batch_size
+        s = self.ds.det_size
+        m = self.ds.max_anns
+        cs = self.crop_size
+        epoch = 0
+        while True:
+            order = (
+                np.random.default_rng((self.seed, epoch)).permutation(len(self.ds))
+                if self.shuffle
+                else np.arange(len(self.ds))
+            )
+            for start in range(0, len(order) - b + 1, b):
+                idxs = order[start : start + b]
+                images = np.zeros((b, s, s, 3), np.float32)
+                crops = np.zeros((b, m, cs, cs, 3), np.float32)
+                boxes = np.zeros((b, m, 5), np.float32)
+                slow = []
+                for j, idx in enumerate(idxs):
+                    plan = self.ds.plan_item(int(idx))
+                    if plan is None:
+                        slow.append(j)
+                        continue
+                    boxes[j] = plan["boxes"]
+                    self.pool.submit_distill_item(
+                        plan["path"], images[j], crops[j], plan["crop_windows"],
+                        self.mean, self.std,
+                    )
+                errors = self.pool.wait()
+                if errors:
+                    # conservative: rebuild every native row via the PIL path
+                    slow = list(range(b))
+                for j in slow:
+                    item = self.ds[int(idxs[j])]
+                    images[j] = item["images"]
+                    crops[j] = item["crops"]
+                    boxes[j] = item["boxes"]
+                yield {"images": images, "boxes": boxes, "crops": crops}
+            epoch += 1
+            if hasattr(self.ds, "set_epoch"):
+                self.ds.set_epoch(epoch)
+
+
 class SyntheticDistillData:
     """Deterministic synthetic batches shaped like GridDistillDataset items —
     for benches, smoke tests, and the no-data smoke-train path."""

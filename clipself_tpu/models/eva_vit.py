@@ -87,20 +87,27 @@ class EvaAttention(nn.Module):
         x: jnp.ndarray,
         grid_hw: Optional[tuple[int, int]] = None,
         mask: Optional[jnp.ndarray] = None,
+        seg: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         c = self.cfg
         q, k, v = self._qkv(x)
         if c.rope and grid_hw is not None:
             gh, gw = grid_hw
-            # rotate patch tokens only; CLS (index 0) is left untouched
-            q = jnp.concatenate(
-                [q[:, :1], apply_rope(q[:, 1:], gh, gw, c.pt_hw_seq_len)], axis=1
-            )
-            k = jnp.concatenate(
-                [k[:, :1], apply_rope(k[:, 1:], gh, gw, c.pt_hw_seq_len)], axis=1
-            )
+            np_ = gh * gw
+            # rotate patch tokens only; CLS (index 0) and any flash-padding
+            # tail are left untouched
+            def rot(t):
+                parts = [t[:, :1], apply_rope(t[:, 1 : 1 + np_], gh, gw, c.pt_hw_seq_len)]
+                if t.shape[1] > 1 + np_:
+                    parts.append(t[:, 1 + np_ :])
+                return jnp.concatenate(parts, axis=1)
+
+            q = rot(q)
+            k = rot(k)
         scale = c.head_width ** -0.5
-        out = multi_head_attention(q, k, v, scale, mask=mask, impl=self.attn_impl)
+        out = multi_head_attention(
+            q, k, v, scale, mask=mask, impl=self.attn_impl, segment_mask=seg
+        )
         b, n = x.shape[:2]
         out = out.reshape(b, n, c.width)
         if self.inner_attn_ln is not None:
@@ -187,16 +194,16 @@ class EvaBlock(nn.Module):
         g = self.gamma_1 if which == 1 else self.gamma_2
         return y * g.astype(y.dtype)
 
-    def __call__(self, x, grid_hw=None, mask=None):
+    def __call__(self, x, grid_hw=None, mask=None, seg=None):
         c = self.cfg
         if c.postnorm:
             x = x + self._scaled(
-                self.norm1(self.attn(x, grid_hw=grid_hw, mask=mask)).astype(self.dtype), 1
+                self.norm1(self.attn(x, grid_hw=grid_hw, mask=mask, seg=seg)).astype(self.dtype), 1
             )
             x = x + self._scaled(self.norm2(self.mlp(x)).astype(self.dtype), 2)
         else:
             x = x + self._scaled(
-                self.attn(self.norm1(x).astype(self.dtype), grid_hw=grid_hw, mask=mask), 1
+                self.attn(self.norm1(x).astype(self.dtype), grid_hw=grid_hw, mask=mask, seg=seg), 1
             )
             x = x + self._scaled(self.mlp(self.norm2(x).astype(self.dtype)), 2)
         return x
@@ -288,14 +295,39 @@ class EvaViT(nn.Module):
         t = t + self._resized_pos_embed((gh, gw)).astype(self.dtype)
         return t, (gh, gw)
 
+    def _pad_for_flash(self, t: jnp.ndarray):
+        """Pad the token sequence ONCE to a flash-block multiple and return
+        (t_padded, segment_mask, true_len). Long sequences otherwise pay a
+        per-layer q/k/v pad/copy inside the flash wrapper; padding up front
+        trades ~(pad/N) extra MLP flops for zero per-layer copies."""
+        from clipself_tpu.ops.attention import _FLASH_MIN_SEQ, _flash_available, flash_block_size
+
+        n = t.shape[1]
+        if (
+            self.attn_impl == "xla"
+            or n < _FLASH_MIN_SEQ
+            or flash_block_size(n)
+            or not _flash_available()
+        ):
+            return t, None, n
+        pad = (-n) % 512
+        tp = jnp.concatenate(
+            [t, jnp.zeros((t.shape[0], pad, t.shape[2]), t.dtype)], axis=1
+        )
+        seg = jnp.broadcast_to(
+            (jnp.arange(n + pad) < n)[None, :], (t.shape[0], n + pad)
+        )
+        return tp, seg, n
+
     # ---- public protocol ----------------------------------------------
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """Image embedding from the CLS token (reference `forward` +
         `forward_features`, `eva_vit_model.py:533-586`)."""
         t, grid = self.embed(x)
+        t, seg, _ = self._pad_for_flash(t)
         for blk in self.blocks:
-            t = blk(t, grid, None)
+            t = blk(t, grid, None, seg)
         t = self.norm(t).astype(self.dtype)
         return self.head(t[:, 0])
 
@@ -307,9 +339,10 @@ class EvaViT(nn.Module):
         Returns [B, gh, gw, C] if keep_shape else [B, gh*gw, C].
         """
         t, grid = self.embed(x)
+        t, seg, n = self._pad_for_flash(t)
         for blk in self.blocks[:-1]:
-            t = blk(t, grid, None)
-        t = self.blocks[-1].forward_without_attn(t)[:, 1:]
+            t = blk(t, grid, None, seg)
+        t = self.blocks[-1].forward_without_attn(t)[:, 1:n]
         t = self.norm(t).astype(self.dtype)
         t = self.head(t)
         t = t / (jnp.linalg.norm(t.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12).astype(
@@ -361,16 +394,17 @@ class EvaViT(nn.Module):
         Returns ([B, gh, gw, width] per tap, dense [B, gh, gw, embed] | None).
         """
         t, grid = self.embed(x)
+        t, seg, n = self._pad_for_flash(t)
         b = x.shape[0]
         gh, gw = grid
         c = self.cfg
 
         def to_map(tokens):
-            return tokens[:, 1:].reshape(b, gh, gw, c.width)
+            return tokens[:, 1:n].reshape(b, gh, gw, c.width)
 
         taps = []
         for i, blk in enumerate(self.blocks[:-1]):
-            t = blk(t, grid, None)
+            t = blk(t, grid, None, seg)
             if i in out_indices:
                 taps.append(to_map(t))
         t = self.blocks[-1].forward_without_attn(t)
@@ -378,7 +412,7 @@ class EvaViT(nn.Module):
             taps.append(to_map(t))
         dense = None
         if with_dense:
-            d = self.norm(t[:, 1:]).astype(self.dtype)
+            d = self.norm(t[:, 1:n]).astype(self.dtype)
             d = self.head(d)
             d = d / (
                 jnp.linalg.norm(d.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12
@@ -395,17 +429,18 @@ class EvaViT(nn.Module):
         Returns ([B, M, C] L2-normalized roi feats, [B, C] normalized image).
         """
         t, grid = self.embed(x)
+        t, seg, n = self._pad_for_flash(t)
         for blk in self.blocks[:-1]:
-            t = blk(t, grid, None)
+            t = blk(t, grid, None, seg)
         # image branch: full final block + CLS head
-        ti = self.blocks[-1](t, grid, None)
+        ti = self.blocks[-1](t, grid, None, seg)
         ti = self.norm(ti).astype(self.dtype)
         x_image = self.head(ti[:, 0])
         x_image = x_image / (
             jnp.linalg.norm(x_image.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12
         ).astype(x_image.dtype)
         # dense branch: final block value path
-        td = self.blocks[-1].forward_without_attn(t)[:, 1:]
+        td = self.blocks[-1].forward_without_attn(t)[:, 1:n]
         td = self.norm(td).astype(self.dtype)
         td = self.head(td)
         td = td / (

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from clipself_tpu.core.config import VisionConfig
@@ -40,6 +41,15 @@ Dtype = Any
 def _layer_norm(name: str, eps: float = 1e-5):
     return nn.LayerNorm(epsilon=eps, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
 
+
+
+def _act(cfg, x):
+    # OpenAI CLIP towers use QuickGELU x*sigmoid(1.702x) (reference
+    # `src/open_clip/transformer.py` QuickGELU); OpenCLIP-trained ones use
+    # exact GELU. Selected by config for checkpoint-level parity.
+    if getattr(cfg, "quick_gelu", False):
+        return x * jax.nn.sigmoid(1.702 * x)
+    return nn.gelu(x, approximate=False)
 
 class CLIPBlock(nn.Module):
     """Pre-LN residual block with packed QKV (torch MultiheadAttention layout)."""
@@ -76,7 +86,7 @@ class CLIPBlock(nn.Module):
 
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         x = x + self._attn(self.ln_1(x).astype(self.dtype), mask)
-        h = nn.gelu(self.c_fc(self.ln_2(x).astype(self.dtype)), approximate=False)
+        h = _act(self.cfg, self.c_fc(self.ln_2(x).astype(self.dtype)))
         return x + self.c_proj(h)
 
     def forward_without_attn(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -86,7 +96,7 @@ class CLIPBlock(nn.Module):
         c = self.cfg
         y = self.in_proj(self.ln_1(x).astype(self.dtype))[..., 2 * c.width :]
         x = x + self.out_proj(y)
-        h = nn.gelu(self.c_fc(self.ln_2(x).astype(self.dtype)), approximate=False)
+        h = _act(self.cfg, self.c_fc(self.ln_2(x).astype(self.dtype)))
         return x + self.c_proj(h)
 
 
@@ -188,6 +198,8 @@ class OpenCLIPViT(nn.Module):
             dense = self.encode_dense(x, keep_shape=True)
             _, gh, gw, _ = dense.shape
             return roi_align_1x1(dense, denormalize_boxes(normed_boxes, gh, gw))
+        if extract_type == "v3":
+            return self._extract_roi_features_v3(x, normed_boxes)
         raise NotImplementedError(extract_type)
 
     def mask_pool(self, x: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
@@ -232,7 +244,23 @@ class OpenCLIPViT(nn.Module):
         masks = self.boxes_to_grid_masks(normed_boxes, gh, gw)
         return self.mask_attn_pool(x, masks)
 
-    def mask_attn_pool(self, image: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+    def _extract_roi_features_v3(self, x: jnp.ndarray, normed_boxes: jnp.ndarray):
+        """Both feature types from ONE trunk pass (reference
+        `_extract_roi_features_v3`, `transformer.py:670-683`): the v1
+        mask-attention-pooled queries and the v2 RoI-aligned dense features.
+        Returns (v1 [B, M, C], v2 [B, M, C]), both unnormalized."""
+        c = self.cfg
+        gh = x.shape[1] // c.patch_size
+        gw = x.shape[2] // c.patch_size
+        masks = self.boxes_to_grid_masks(normed_boxes, gh, gw)
+        v1, dense = self.mask_attn_pool(x, masks, return_dense=True)
+        dense = l2_normalize(dense)
+        v2 = roi_align_1x1(dense, denormalize_boxes(normed_boxes, gh, gw))
+        return v1, v2
+
+    def mask_attn_pool(
+        self, image: jnp.ndarray, masks: jnp.ndarray, return_dense: bool = False
+    ):
         """Mask-attention pooling (reference `mask_attn_pool` +
         `_mask_attn_pool`, `transformer.py:736-834`).
 
@@ -272,8 +300,19 @@ class OpenCLIPViT(nn.Module):
         attn = attn.at[:, :q, :].set(query_rows)
         attn = attn[:, None, :, :]  # broadcast over heads
 
-        for blk in self.blocks:
+        for blk in self.blocks[:-1]:
             tokens = blk(tokens, mask=attn)
+        out = self.blocks[-1](tokens, mask=attn)
 
-        pooled = self.ln_post(tokens[:, :q]).astype(self.dtype)
-        return pooled @ self.proj.astype(pooled.dtype)
+        pooled = self.ln_post(out[:, :q]).astype(self.dtype)
+        pooled = pooled @ self.proj.astype(pooled.dtype)
+        if not return_dense:
+            return pooled
+        # dense branch shares the trunk: final block value path over the
+        # image tokens (reference `_mask_attn_pool(return_dense=True)`,
+        # `transformer.py:736-783`)
+        td = self.blocks[-1].forward_without_attn(tokens)[:, q + 1 :]
+        dtok = self.ln_post(td).astype(self.dtype)
+        dtok = dtok @ self.proj.astype(dtok.dtype)
+        dense = dtok.reshape(image.shape[0], gh, gw, -1)
+        return pooled, dense

@@ -45,6 +45,7 @@ def config_from_openai_state_dict(sd: dict[str, np.ndarray]) -> CLIPConfig:
         vision = VisionConfig(
             image_size=grid * patch, layers=layers, width=width,
             head_width=64, patch_size=patch, mlp_ratio=4.0, ln_eps=1e-5,
+            quick_gelu=True,  # all OpenAI releases use QuickGELU
         )
     else:
         counts = [
@@ -57,7 +58,7 @@ def config_from_openai_state_dict(sd: dict[str, np.ndarray]) -> CLIPConfig:
         vision = VisionConfig(
             image_size=spatial * 32, layers=len(counts), width=out_dim,
             head_width=out_dim // 32, patch_size=32,
-            resnet_layers=tuple(counts), ln_eps=1e-5,
+            resnet_layers=tuple(counts), ln_eps=1e-5, quick_gelu=True,
         )
     text = TextConfig(
         context_length=sd["positional_embedding"].shape[0],
@@ -65,7 +66,7 @@ def config_from_openai_state_dict(sd: dict[str, np.ndarray]) -> CLIPConfig:
         width=sd["ln_final.weight"].shape[0],
         heads=sd["ln_final.weight"].shape[0] // 64,
         layers=len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")}),
-        ln_eps=1e-5,
+        ln_eps=1e-5, quick_gelu=True,
     )
     return CLIPConfig(embed_dim=embed_dim, vision=vision, text=text, name="openai")
 

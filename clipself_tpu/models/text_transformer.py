@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from clipself_tpu.core.config import TextConfig
@@ -23,6 +24,15 @@ Dtype = Any
 def _layer_norm(name: str, eps: float):
     return nn.LayerNorm(epsilon=eps, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
 
+
+
+def _act(cfg, x):
+    # OpenAI CLIP towers use QuickGELU x*sigmoid(1.702x) (reference
+    # `src/open_clip/transformer.py` QuickGELU); OpenCLIP-trained ones use
+    # exact GELU. Selected by config for checkpoint-level parity.
+    if getattr(cfg, "quick_gelu", False):
+        return x * jax.nn.sigmoid(1.702 * x)
+    return nn.gelu(x, approximate=False)
 
 class TextBlock(nn.Module):
     cfg: TextConfig
@@ -52,7 +62,7 @@ class TextBlock(nn.Module):
 
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         x = x + self._attention(self.ln_1(x).astype(self.dtype), mask)
-        h = nn.gelu(self.c_fc(self.ln_2(x).astype(self.dtype)), approximate=False)
+        h = _act(self.cfg, self.c_fc(self.ln_2(x).astype(self.dtype)))
         x = x + self.c_proj(h)
         return x
 

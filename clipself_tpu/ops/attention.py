@@ -47,8 +47,16 @@ def _flash_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def flash_block_size(n: int) -> int:
+    """Largest supported block size dividing n (0 if none)."""
+    for b in (1024, 768, 512, 256, 128):
+        if n % b == 0:
+            return b
+    return 0
+
+
 @functools.partial(jax.named_call, name="flash_attention")
-def _pallas_flash(q, k, v, scale):
+def _pallas_flash(q, k, v, scale, segment_mask=None):
     """Bundled TPU flash-attention kernel; q,k,v: [B, H, N, D].
 
     Sequence lengths that aren't multiples of the kernel block size are
@@ -63,8 +71,21 @@ def _pallas_flash(q, k, v, scale):
     )
 
     b, h, n, d = q.shape
-    block = 512 if n >= 512 else 128
-    pad = (-n) % block
+    native = flash_block_size(n)
+    if native and segment_mask is not None:
+        # caller already padded the sequence to a block multiple and supplies
+        # the validity row — no per-layer copies needed
+        ids = segment_mask.astype(jnp.int32)
+        segment_ids = SegmentIds(q=ids, kv=ids)
+        block = native
+        pad = 0
+    elif native:
+        segment_ids = None
+        block = native
+        pad = 0
+    else:
+        block = 512 if n >= 512 else 128
+        pad = (-n) % block
     if pad:
         zq = jnp.zeros((b, h, pad, d), q.dtype)
         q = jnp.concatenate([q, zq], axis=2)
@@ -74,20 +95,22 @@ def _pallas_flash(q, k, v, scale):
         ids = (jnp.arange(npad) < n).astype(jnp.int32)
         ids = jnp.broadcast_to(ids[None, :], (b, npad))
         segment_ids = SegmentIds(q=ids, kv=ids)
-    else:
-        segment_ids = None
+    # measured on v5e: 768 blocks are ~14% faster than 512 for the backward
+    # kernels at 4.6k tokens; larger blocks exceed the 16MB VMEM budget
+    npad = q.shape[2]
+    bwd_block = 768 if npad % 768 == 0 else block
     block_sizes = BlockSizes(
         block_q=block,
         block_k_major=block,
         block_k=block,
         block_b=1,
-        block_q_major_dkv=block,
-        block_k_major_dkv=block,
-        block_k_dkv=block,
-        block_q_dkv=block,
-        block_k_major_dq=block,
-        block_k_dq=block,
-        block_q_dq=block,
+        block_q_major_dkv=bwd_block,
+        block_k_major_dkv=bwd_block,
+        block_k_dkv=bwd_block,
+        block_q_dkv=bwd_block,
+        block_k_major_dq=bwd_block,
+        block_k_dq=bwd_block,
+        block_q_dq=bwd_block,
     )
     out = flash_attention(
         q, k, v, segment_ids=segment_ids, sm_scale=scale, block_sizes=block_sizes
@@ -104,6 +127,7 @@ def multi_head_attention(
     scale: float,
     mask: Optional[jnp.ndarray] = None,
     impl: str = "auto",
+    segment_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over [B, N, H, D] tensors.
 
@@ -111,6 +135,9 @@ def multi_head_attention(
       mask: optional additive bias broadcastable to [B, H, N, N] (used for the
         causal text mask and mask-attention pooling).
       impl: 'auto' | 'xla' | 'flash'.
+      segment_mask: optional [B, N] validity row for sequences the CALLER has
+        already padded to a flash block multiple (the pad-once trunk path,
+        avoiding per-layer q/k/v copies). Padding rows must be 0.
     """
     n = q.shape[1]
     if impl == "auto":
@@ -121,6 +148,9 @@ def multi_head_attention(
         qt = jnp.swapaxes(q, 1, 2)  # [B, H, N, D]
         kt = jnp.swapaxes(k, 1, 2)
         vt = jnp.swapaxes(v, 1, 2)
-        out = _pallas_flash(qt, kt, vt, scale)
+        out = _pallas_flash(qt, kt, vt, scale, segment_mask=segment_mask)
         return jnp.swapaxes(out, 1, 2)
+    if segment_mask is not None:
+        seg_bias = jnp.where(segment_mask[:, None, None, :], 0.0, -1e9).astype(jnp.float32)
+        mask = seg_bias if mask is None else mask + seg_bias
     return _xla_attention(q, k, v, scale, mask)

@@ -64,6 +64,8 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=16, help="GLOBAL batch size")
     p.add_argument("--val-batch-size", type=int, default=1)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--native-loader", action="store_true",
+                   help="use the C++ decode/resize pool for grid_distill")
     p.add_argument("--synthetic", action="store_true", help="synthetic data smoke mode")
     p.add_argument("--steps-per-epoch", type=int, default=None,
                    help="override (required for --synthetic)")
@@ -100,7 +102,7 @@ def build_data(args, mesh):
         ProposalDistillDataset,
         RegionCLIPDataset,
     )
-    from clipself_tpu.data.loader import SyntheticDistillData, make_loader
+    from clipself_tpu.data.loader import SyntheticDistillData, make_loader  # noqa: F401
 
     data = {}
     if args.synthetic:
@@ -136,10 +138,18 @@ def build_data(args, mesh):
                 train_ratio=args.train_ratio, seed=args.seed,
             )
         data["train_ds"] = ds
-        data["train"] = make_loader(
-            ds, args.batch_size, shuffle=True, seed=args.seed,
-            num_epochs=None, worker_count=args.workers,
-        )
+        if args.native_loader and args.dataset_type == "grid_distill":
+            from clipself_tpu.data.loader import NativeDistillLoader
+
+            data["train"] = NativeDistillLoader(
+                ds, args.batch_size, shuffle=True, seed=args.seed,
+                num_threads=args.workers,
+            )
+        else:
+            data["train"] = make_loader(
+                ds, args.batch_size, shuffle=True, seed=args.seed,
+                num_epochs=None, worker_count=args.workers,
+            )
         data["train_size"] = len(ds)
 
     if args.val_data:

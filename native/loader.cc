@@ -135,10 +135,25 @@ struct FilterWeights {
   int max_taps = 0;
 };
 
-FilterWeights triangle_weights(int in_size, int out_size, float crop_lo, float crop_len) {
+enum class Kernel { kBilinear, kBicubic };
+
+double filter_eval(Kernel k, double x) {
+  x = std::abs(x);
+  if (k == Kernel::kBilinear) return x < 1.0 ? 1.0 - x : 0.0;
+  // PIL BICUBIC: Keys kernel, a = -0.5
+  const double a = -0.5;
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+FilterWeights filter_weights(int in_size, int out_size, float crop_lo, float crop_len,
+                             Kernel kernel) {
   FilterWeights fw;
+  double base_support = kernel == Kernel::kBicubic ? 2.0 : 1.0;
   double scale = double(crop_len) / out_size;
-  double support = std::max(1.0, scale);  // triangle filter support * scale
+  double filt = std::max(1.0, scale);  // antialias: widen filter on downscale
+  double support = base_support * filt;
   fw.max_taps = int(std::ceil(support * 2)) + 2;
   fw.bounds.resize(out_size);
   fw.counts.resize(out_size);
@@ -148,14 +163,13 @@ FilterWeights triangle_weights(int in_size, int out_size, float crop_lo, float c
     int lo = std::max(0, int(std::floor(center - support)));
     int hi = std::min(in_size, int(std::ceil(center + support)));
     double total = 0.0;
-    int cnt = hi - lo;
+    int cnt = std::max(hi - lo, 0);
     for (int k = 0; k < cnt; ++k) {
-      double x = (lo + k + 0.5 - center) / std::max(scale, 1.0);
-      double w = std::max(0.0, 1.0 - std::abs(x));
+      double w = filter_eval(kernel, (lo + k + 0.5 - center) / filt);
       fw.weights[size_t(i) * fw.max_taps + k] = float(w);
       total += w;
     }
-    if (total > 0) {
+    if (total != 0) {
       for (int k = 0; k < cnt; ++k) fw.weights[size_t(i) * fw.max_taps + k] /= float(total);
     }
     fw.bounds[i] = lo;
@@ -166,9 +180,10 @@ FilterWeights triangle_weights(int in_size, int out_size, float crop_lo, float c
 
 // resize a crop window of src (u8 HWC) to dw x dh float HWC (0..255 range)
 void resize_crop(const uint8_t* src, int sw, int sh, float x0, float y0, float cw,
-                 float ch, float* dst, int dw, int dh) {
-  FilterWeights fx = triangle_weights(sw, dw, x0, cw);
-  FilterWeights fy = triangle_weights(sh, dh, y0, ch);
+                 float ch, float* dst, int dw, int dh,
+                 Kernel kernel = Kernel::kBilinear) {
+  FilterWeights fx = filter_weights(sw, dw, x0, cw, kernel);
+  FilterWeights fy = filter_weights(sh, dh, y0, ch, kernel);
   // horizontal pass into temp [sh, dw, 3]
   std::vector<float> tmp(size_t(sh) * dw * 3);
   for (int y = 0; y < sh; ++y) {
@@ -313,14 +328,21 @@ int csl_submit_distill_item(void* pool, const char* path, int det_size, int crop
   static_cast<Pool*>(pool)->submit([=]() -> bool {
     ImageU8 img = decode_file(p.c_str());
     if (!img.ok) return false;
+    // black padded BEFORE normalization (reference ResizeLongest fill=0 then
+    // Normalize): padding value = (0 - mean) / std
+    float padv[3] = {(0.f - m[0]) / s[0], (0.f - m[1]) / s[1], (0.f - m[2]) / s[2]};
     float scale = float(det_size) / std::max(img.w, img.h);
     int nw = std::max(1, int(std::round(img.w * scale)));
     int nh = std::max(1, int(std::round(img.h * scale)));
     std::vector<float> resized(size_t(nw) * nh * 3);
     resize_crop(img.data.data(), img.w, img.h, 0, 0, float(img.w), float(img.h),
-                resized.data(), nw, nh);
+                resized.data(), nw, nh, Kernel::kBicubic);
     normalize_inplace(resized.data(), size_t(nw) * nh, m.data(), s.data());
-    memset(det_out, 0, size_t(det_size) * det_size * 3 * sizeof(float));
+    for (int y = 0; y < det_size; ++y)
+      for (int x = 0; x < det_size; ++x) {
+        float* px = det_out + (size_t(y) * det_size + x) * 3;
+        px[0] = padv[0]; px[1] = padv[1]; px[2] = padv[2];
+      }
     for (int y = 0; y < nh; ++y)
       memcpy(det_out + size_t(y) * det_size * 3, resized.data() + size_t(y) * nw * 3,
              size_t(nw) * 3 * sizeof(float));
@@ -332,10 +354,25 @@ int csl_submit_distill_item(void* pool, const char* path, int det_size, int crop
       x1 = std::min(float(img.w), x1);
       y1 = std::min(float(img.h), y1);
       float cw = std::max(1.f, x1 - x0), ch = std::max(1.f, y1 - y0);
+      // aspect-preserving: longest side -> crop_size, center pad
+      // (reference ResizeMaxSize, transform.py:26-49)
+      float cscale = float(crop_size) / std::max(cw, ch);
+      int ow = std::max(1, int(std::round(cw * cscale)));
+      int oh = std::max(1, int(std::round(ch * cscale)));
+      std::vector<float> cbuf(size_t(ow) * oh * 3);
+      resize_crop(img.data.data(), img.w, img.h, x0, y0, cw, ch, cbuf.data(), ow, oh,
+                  Kernel::kBicubic);
+      normalize_inplace(cbuf.data(), size_t(ow) * oh, m.data(), s.data());
       float* out = crops_out + size_t(c) * crop_size * crop_size * 3;
-      resize_crop(img.data.data(), img.w, img.h, x0, y0, cw, ch, out, crop_size,
-                  crop_size);
-      normalize_inplace(out, size_t(crop_size) * crop_size, m.data(), s.data());
+      for (int y = 0; y < crop_size; ++y)
+        for (int x = 0; x < crop_size; ++x) {
+          float* px = out + (size_t(y) * crop_size + x) * 3;
+          px[0] = padv[0]; px[1] = padv[1]; px[2] = padv[2];
+        }
+      int offx = (crop_size - ow) / 2, offy = (crop_size - oh) / 2;
+      for (int y = 0; y < oh; ++y)
+        memcpy(out + (size_t(y + offy) * crop_size + offx) * 3,
+               cbuf.data() + size_t(y) * ow * 3, size_t(ow) * 3 * sizeof(float));
     }
     return true;
   });

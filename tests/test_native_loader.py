@@ -75,13 +75,13 @@ def test_distill_item(images):
     assert pool.wait() == 0
     pool.close()
     assert np.isfinite(det).all() and np.isfinite(crops).all()
-    # crop 0 reference via PIL
-    ref = np.asarray(
-        Image.fromarray(arr).crop((0, 0, 45, 35)).resize((16, 16), Image.BILINEAR),
-        np.float32,
-    ) / 255.0
-    ref = (ref - mean) / std
-    assert np.abs(crops[0] - ref).mean() < 0.1
+    # parity with the python (PIL) pipeline: det_transform and crop_transform
+    from clipself_tpu.data.transforms import crop_transform, det_transform
+
+    ref_det = det_transform(Image.fromarray(arr), 32)
+    assert np.abs(det - ref_det).mean() < 0.05
+    ref_crop = crop_transform(Image.fromarray(arr).crop((0, 0, 45, 35)), 16)
+    assert np.abs(crops[0] - ref_crop).mean() < 0.05
 
 
 def test_pool_reports_errors(images):
@@ -112,3 +112,38 @@ def test_throughput_parallel(images):
     dt = time.perf_counter() - t0
     pool.close()
     assert dt < 5.0  # sanity: 64 small images well under 5s
+
+
+def test_native_distill_loader_matches_pil(tmp_path):
+    """NativeDistillLoader batches match the PIL __getitem__ path."""
+    import json
+
+    from clipself_tpu.data.datasets import GridDistillDataset
+    from clipself_tpu.data.loader import NativeDistillLoader
+
+    rng = np.random.default_rng(7)
+    imgs = []
+    for i in range(4):
+        arr = np.asarray(
+            Image.fromarray(rng.uniform(0, 255, (6, 8, 3)).astype(np.uint8)).resize(
+                (96, 72), Image.BILINEAR
+            )
+        )
+        Image.fromarray(arr).save(tmp_path / f"i{i}.jpg", quality=97)
+        imgs.append({"id": i, "file_name": f"i{i}.jpg", "width": 96, "height": 72})
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({"images": imgs, "annotations": [], "categories": []}))
+
+    ds = GridDistillDataset(
+        str(ann), str(tmp_path), det_size=64, crop_size=32, max_split=3, max_anns=4
+    )
+    loader = NativeDistillLoader(ds, batch_size=4, shuffle=False)
+    batch = next(iter(loader))
+    assert batch["images"].shape == (4, 64, 64, 3)
+    assert batch["crops"].shape == (4, 4, 32, 32, 3)
+    for j in range(4):
+        ref = ds[j]
+        np.testing.assert_allclose(batch["boxes"][j], ref["boxes"], atol=1e-5)
+        assert np.abs(batch["images"][j] - ref["images"]).mean() < 0.06
+        valid = ref["boxes"][:, 4] > 0
+        assert np.abs(batch["crops"][j][valid] - ref["crops"][valid]).mean() < 0.08

@@ -123,3 +123,37 @@ def test_torch_roundtrip_openclip(model_and_params, tmp_path):
     restored = load_pretrained(path, perturbed, CFG)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_extract_v3_matches_v1_v2_semantics():
+    """v3 returns (mask-attn, roi-align) features from one pass."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clipself_tpu.core.config import get_model_config
+    from clipself_tpu.models.factory import create_model
+
+    cfg = get_model_config("ViT-Tiny-Test")
+    model, params = create_model(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, cfg.vision.image_size, cfg.vision.image_size, 3)), jnp.float32)
+    boxes = jnp.asarray([[[0.0, 0.0, 0.6, 0.6], [0.2, 0.2, 1.0, 1.0]]] * 2)
+    v1, v2 = model.apply(
+        {"params": params}, img, boxes, "v3",
+        method=lambda m, i, b, t: m.visual.extract_roi_features(i, b, extract_type=t),
+    )
+    assert v1.shape == v2.shape == (2, 2, cfg.embed_dim)
+    ref_v1 = model.apply(
+        {"params": params}, img, boxes, "v1",
+        method=lambda m, i, b, t: m.visual.extract_roi_features(i, b, extract_type=t),
+    )
+    ref_v2 = model.apply(
+        {"params": params}, img, boxes, "v2",
+        method=lambda m, i, b, t: m.visual.extract_roi_features(i, b, extract_type=t),
+    )
+    # v2 branch identical to standalone v2 (same final-block value path)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(ref_v2), atol=2e-3)
+    # v1 branch highly correlated with standalone v1 (standalone applies the
+    # full masked final block too — identical here)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v1), atol=2e-3)
