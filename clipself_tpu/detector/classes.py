@@ -40,6 +40,19 @@ def lvis_split() -> dict:
     return {"all": all_names, "seen": seen, "unseen": unseen, "freq_groups": groups, "cat_info": info}
 
 
+def transfer_split(dataset: str) -> dict:
+    """Class lists for transfer evaluation (reference `configs/transfer/*`:
+    a trained detector is evaluated on another vocabulary with EVERY class
+    fused by the base exponent alpha — `FViTBBoxHead` transfer variant,
+    `fvit_head.py:284-347`). All classes are treated as 'seen'."""
+    names = {
+        "voc": _load("voc_classes"),
+        "objects365": _load("objects365v1_fix_classes"),
+        "coco": _load("mscoco_all_classes"),
+    }[dataset]
+    return {"all": names, "seen": list(names), "unseen": []}
+
+
 def class_weights(dataset: str, bg_weight: float) -> np.ndarray:
     """Training CE class-weight vector [K+1] (background last).
 

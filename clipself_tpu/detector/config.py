@@ -8,6 +8,7 @@ One dataclass per sub-system; presets mirror the shipped configs.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -132,8 +133,24 @@ OV_LVIS_VITB16 = FViTConfig(
     with_mask=True,
 )
 
+# transfer evaluation: all classes fused with the base exponent
+# (reference `configs/transfer/fvit_vitl14_upsample_fpn_transfer2voc.py`:
+# alpha=0.3; transfer2coco/objects365 analogous)
+TRANSFER_VOC_VITL14 = dataclasses.replace(
+    OV_COCO_VITL14, num_classes=20, alpha=0.3, beta=0.3
+)
+TRANSFER_OBJECTS365_VITL14 = dataclasses.replace(
+    OV_COCO_VITL14, num_classes=365, alpha=0.3, beta=0.3
+)
+TRANSFER_COCO_VITL14 = dataclasses.replace(
+    OV_COCO_VITL14, num_classes=80, alpha=0.3, beta=0.3
+)
+
 PRESETS = {
     "ov_coco_vitb16": OV_COCO_VITB16,
     "ov_coco_vitl14": OV_COCO_VITL14,
     "ov_lvis_vitb16": OV_LVIS_VITB16,
+    "transfer_voc_vitl14": TRANSFER_VOC_VITL14,
+    "transfer_objects365_vitl14": TRANSFER_OBJECTS365_VITL14,
+    "transfer_coco_vitl14": TRANSFER_COCO_VITL14,
 }

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from clipself_tpu.core.config import VisionConfig
-from clipself_tpu.models.rope import apply_rope
+from clipself_tpu.models.rope import apply_rope, apply_rope_gathered
 from clipself_tpu.ops.attention import multi_head_attention
 from clipself_tpu.ops.interpolate import resize_2d
 from clipself_tpu.ops.mask_pool import mask_pool
@@ -88,19 +88,29 @@ class EvaAttention(nn.Module):
         grid_hw: Optional[tuple[int, int]] = None,
         mask: Optional[jnp.ndarray] = None,
         seg: Optional[jnp.ndarray] = None,
+        pos_idx: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         c = self.cfg
         q, k, v = self._qkv(x)
         if c.rope and grid_hw is not None:
             gh, gw = grid_hw
-            np_ = gh * gw
-            # rotate patch tokens only; CLS (index 0) and any flash-padding
-            # tail are left untouched
-            def rot(t):
-                parts = [t[:, :1], apply_rope(t[:, 1 : 1 + np_], gh, gw, c.pt_hw_seq_len)]
-                if t.shape[1] > 1 + np_:
-                    parts.append(t[:, 1 + np_ :])
-                return jnp.concatenate(parts, axis=1)
+            if pos_idx is not None:
+                # patch-dropout path: tokens are a gathered subset; rotate by
+                # their original grid positions
+                def rot(t):
+                    return jnp.concatenate(
+                        [t[:, :1], apply_rope_gathered(t[:, 1:], pos_idx, gh, gw, c.pt_hw_seq_len)],
+                        axis=1,
+                    )
+            else:
+                np_ = gh * gw
+                # rotate patch tokens only; CLS (index 0) and any flash-padding
+                # tail are left untouched
+                def rot(t):
+                    parts = [t[:, :1], apply_rope(t[:, 1 : 1 + np_], gh, gw, c.pt_hw_seq_len)]
+                    if t.shape[1] > 1 + np_:
+                        parts.append(t[:, 1 + np_ :])
+                    return jnp.concatenate(parts, axis=1)
 
             q = rot(q)
             k = rot(k)
@@ -194,16 +204,21 @@ class EvaBlock(nn.Module):
         g = self.gamma_1 if which == 1 else self.gamma_2
         return y * g.astype(y.dtype)
 
-    def __call__(self, x, grid_hw=None, mask=None, seg=None):
+    def __call__(self, x, grid_hw=None, mask=None, seg=None, pos_idx=None):
         c = self.cfg
         if c.postnorm:
             x = x + self._scaled(
-                self.norm1(self.attn(x, grid_hw=grid_hw, mask=mask, seg=seg)).astype(self.dtype), 1
+                self.norm1(
+                    self.attn(x, grid_hw=grid_hw, mask=mask, seg=seg, pos_idx=pos_idx)
+                ).astype(self.dtype), 1
             )
             x = x + self._scaled(self.norm2(self.mlp(x)).astype(self.dtype), 2)
         else:
             x = x + self._scaled(
-                self.attn(self.norm1(x).astype(self.dtype), grid_hw=grid_hw, mask=mask, seg=seg), 1
+                self.attn(
+                    self.norm1(x).astype(self.dtype), grid_hw=grid_hw, mask=mask,
+                    seg=seg, pos_idx=pos_idx,
+                ), 1
             )
             x = x + self._scaled(self.mlp(self.norm2(x).astype(self.dtype)), 2)
         return x
@@ -321,13 +336,36 @@ class EvaViT(nn.Module):
 
     # ---- public protocol ----------------------------------------------
 
+    def _patch_dropout(self, t: jnp.ndarray):
+        """Drop a random subset of patch tokens (training only — requires the
+        'patch_dropout' rng collection; reference `PatchDropout`,
+        `eva_clip/transformer.py:75-116`). Returns (tokens, keep_idx)."""
+        c = self.cfg
+        if c.patch_dropout <= 0.0 or not self.has_rng("patch_dropout"):
+            return t, None
+        b, n1 = t.shape[:2]
+        n = n1 - 1
+        keep = max(1, int(n * (1.0 - c.patch_dropout)))
+        rng = self.make_rng("patch_dropout")
+        noise = jax.random.uniform(rng, (b, n))
+        keep_idx = jnp.argsort(noise, axis=-1)[:, :keep]  # [B, K]
+        patches = jnp.take_along_axis(t[:, 1:], keep_idx[..., None], axis=1)
+        return jnp.concatenate([t[:, :1], patches], axis=1), keep_idx
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """Image embedding from the CLS token (reference `forward` +
-        `forward_features`, `eva_vit_model.py:533-586`)."""
+        `forward_features`, `eva_vit_model.py:533-586`). Patch dropout (when
+        configured and an rng is supplied) applies here — the global
+        embedding path — not to the dense protocol, whose grid reshape
+        requires every token."""
         t, grid = self.embed(x)
-        t, seg, _ = self._pad_for_flash(t)
+        t, pos_idx = self._patch_dropout(t)
+        if pos_idx is None:
+            t, seg, _ = self._pad_for_flash(t)
+        else:
+            seg = None
         for blk in self.blocks:
-            t = blk(t, grid, None, seg)
+            t = blk(t, grid, None, seg, pos_idx)
         t = self.norm(t).astype(self.dtype)
         return self.head(t[:, 0])
 

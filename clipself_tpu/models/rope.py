@@ -74,3 +74,20 @@ def apply_rope(x: jnp.ndarray, grid_h: int, grid_w: int, pt_seq_len: int = 16) -
     cos = jnp.asarray(cos_np[:, None, :], dtype=x.dtype)  # [N, 1, D]
     sin = jnp.asarray(sin_np[:, None, :], dtype=x.dtype)
     return x * cos + rotate_half(x) * sin
+
+
+def apply_rope_gathered(
+    x: jnp.ndarray,
+    keep_idx: jnp.ndarray,
+    grid_h: int,
+    grid_w: int,
+    pt_seq_len: int = 16,
+) -> jnp.ndarray:
+    """Rotate a patch-dropout-reduced token set ``x[B, K, H, D]`` whose
+    original grid positions are ``keep_idx[B, K]`` (reference rope gather
+    path, `src/open_clip/eva_clip/rope.py:148-162`)."""
+    d = x.shape[-1]
+    cos_np, sin_np = rope_tables_np(grid_h, grid_w, d // 2, pt_seq_len)
+    cos = jnp.asarray(cos_np, x.dtype)[keep_idx][:, :, None, :]  # [B, K, 1, D]
+    sin = jnp.asarray(sin_np, x.dtype)[keep_idx][:, :, None, :]
+    return x * cos + rotate_half(x) * sin

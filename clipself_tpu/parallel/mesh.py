@@ -9,11 +9,34 @@ batch axis; host-side object gathers become `multihost_utils`.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bootstrap (reference `init_distributed_device`,
+    `src/training/distributed.py:63-114`, collapsed to JAX's single runtime
+    call). No-op when env auto-detection suffices or on single-host."""
+    import jax
+
+    multi_proc_env = any(
+        os.environ.get(k) for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if coordinator is None and num_processes is None and not multi_proc_env:
+        return  # single-process: nothing to bootstrap (auto-detect can hang)
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
 
 
 def create_mesh(
@@ -32,6 +55,16 @@ def create_mesh(
         devices = devices[:n_devices]
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    if n_devices is None and int(np.prod(shape)) == len(jax.devices()):
+        # ICI-aware ordering: lay the mesh out along physical torus axes so
+        # collectives ride ICI links (scaling-book recipe)
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh(shape)
+            return Mesh(dev_array, axis_names)
+        except Exception:
+            pass
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names)
 

@@ -80,6 +80,8 @@ def parse_args(argv=None):
     p.add_argument("--lr-scheduler", default="cosine",
                    choices=["cosine", "const", "const-cooldown"])
     p.add_argument("--grad-clip-norm", type=float, default=None)
+    p.add_argument("--accum-freq", type=int, default=1,
+                   help="gradient accumulation steps (reference exposes but disables this)")
     p.add_argument("--alpha", type=float, default=0.7, help="ensemble weight on save")
     # infra
     p.add_argument("--name", default=None)
@@ -231,6 +233,7 @@ def main(argv=None):
         eps=args.eps, grad_clip_norm=args.grad_clip_norm,
         unlocked_groups=args.lock_image_unlocked_groups,
         num_layers=cfg.vision.layers, lock_image=args.lock_image,
+        accum_steps=args.accum_freq,
     )
     state = TrainState.create(params, tx)
     start_epoch = 0

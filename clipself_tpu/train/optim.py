@@ -141,8 +141,13 @@ def build_optimizer(
     unlocked_groups: int = 0,
     num_layers: int = 12,
     lock_image: bool = True,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
-    """AdamW with reference-parity decay mask and image-tower locking."""
+    """AdamW with reference-parity decay mask and image-tower locking.
+
+    `accum_steps > 1` enables gradient accumulation (the reference exposes
+    `--accum-freq` but hard-disables it, `src/training/train.py:89`; here it
+    is first-class via `optax.MultiSteps`)."""
     adamw = optax.chain(
         optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps),
         optax.add_decayed_weights(wd, mask=no_decay_mask),
@@ -153,6 +158,9 @@ def build_optimizer(
     labels = trainable_labels(
         params, unlocked_groups=unlocked_groups, num_layers=num_layers, lock_image=lock_image
     )
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"train": adamw, "freeze": optax.set_to_zero()}, labels
     )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx

@@ -165,3 +165,15 @@ def test_det_train_step_decreases_loss():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_transfer_splits_and_presets():
+    from clipself_tpu.detector.classes import base_novel_mask, transfer_split
+    from clipself_tpu.detector.config import PRESETS
+
+    voc = transfer_split("voc")
+    assert len(voc["all"]) == 20 and not voc["unseen"]
+    o365 = transfer_split("objects365")
+    assert len(o365["all"]) == 365
+    p = PRESETS["transfer_voc_vitl14"]
+    assert p.num_classes == 20 and p.alpha == p.beta == 0.3

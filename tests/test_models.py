@@ -129,3 +129,34 @@ def test_import_resizes_pos_embed(model_and_params):
     )
     loaded = import_state_dict(sd, params, CFG)
     assert loaded["visual"]["pos_embed"].shape == (1, base * base + 1, CFG.vision.width)
+
+
+def test_patch_dropout_rope_gather():
+    """Patch dropout drops tokens during training and is a no-op without the
+    rng collection; RoPE rotates the kept subset by original positions."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clipself_tpu.models.factory import create_model
+
+    cfg = dataclasses.replace(
+        CFG, vision=dataclasses.replace(CFG.vision, patch_dropout=0.5)
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    img = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32
+    )
+    out_det = model.apply({"params": params}, img, method="encode_image")
+    out_det2 = model.apply({"params": params}, img, method="encode_image")
+    np.testing.assert_allclose(np.asarray(out_det), np.asarray(out_det2))
+    out_drop = model.apply(
+        {"params": params}, img, method="encode_image",
+        rngs={"patch_dropout": jax.random.PRNGKey(0)},
+    )
+    assert out_drop.shape == out_det.shape
+    assert np.isfinite(np.asarray(out_drop)).all()
+    # dropping half the tokens must change the embedding
+    assert np.abs(np.asarray(out_drop) - np.asarray(out_det)).max() > 1e-4

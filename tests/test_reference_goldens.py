@@ -1,0 +1,294 @@
+"""Golden parity tests against the ACTUAL reference implementation.
+
+The read-only reference checkout (`/root/reference`) is loaded file-wise as
+a synthetic package with its missing CUDA-era deps stubbed (torchvision,
+timm layers, ftfy; xformers is already optional in the reference). A
+random-initialized reference torch model's state dict is imported into our
+Flax towers and outputs are compared — the strongest possible behavioral
+parity check without pretrained weights.
+
+Skipped wholesale when the reference tree is absent.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+from functools import partial
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/src/open_clip"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference absent")
+
+torch = pytest.importorskip("torch")
+
+
+def _install_stubs():
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        ops = types.ModuleType("torchvision.ops")
+
+        def roi_align(*a, **k):  # pragma: no cover - never called in goldens
+            raise NotImplementedError("stub")
+
+        ops.roi_align = roi_align
+        misc = types.ModuleType("torchvision.ops.misc")
+
+        class FrozenBatchNorm2d(torch.nn.Module):  # reference utils import
+            def __init__(self, n, eps=1e-5):
+                super().__init__()
+                self.eps = eps
+                for name in ("weight", "bias", "running_mean", "running_var"):
+                    self.register_buffer(
+                        name,
+                        torch.ones(n) if name in ("weight", "running_var") else torch.zeros(n),
+                    )
+
+            def forward(self, x):
+                scale = self.weight * (self.running_var + self.eps).rsqrt()
+                bias = self.bias - self.running_mean * scale
+                return x * scale[None, :, None, None] + bias[None, :, None, None]
+
+        misc.FrozenBatchNorm2d = FrozenBatchNorm2d
+        ops.misc = misc
+        tv.ops = ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = ops
+        sys.modules["torchvision.ops.misc"] = misc
+    if "timm" not in sys.modules:
+        def drop_path(x, drop_prob=0.0, training=False):
+            return x
+
+        def to_2tuple(x):
+            return x if isinstance(x, tuple) else (x, x)
+
+        def trunc_normal_(t, mean=0.0, std=1.0, **k):
+            with torch.no_grad():
+                t.normal_(mean, std).clamp_(-2 * std, 2 * std)
+            return t
+
+        layers = types.ModuleType("timm.models.layers")
+        layers.drop_path = drop_path
+        layers.to_2tuple = to_2tuple
+        layers.trunc_normal_ = trunc_normal_
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        timm.models = models
+        models.layers = layers
+        timm.layers = layers
+        sys.modules.update(
+            {
+                "timm": timm,
+                "timm.models": models,
+                "timm.models.layers": layers,
+                "timm.layers": layers,
+            }
+        )
+    if "ftfy" not in sys.modules:
+        ftfy = types.ModuleType("ftfy")
+        ftfy.fix_text = lambda s: s
+        sys.modules["ftfy"] = ftfy
+
+
+def _load_ref_pkg(pkg_name: str, root: str):
+    """Register `root` as package `pkg_name` without running real __init__."""
+    if pkg_name in sys.modules:
+        return sys.modules[pkg_name]
+    pkg = types.ModuleType(pkg_name)
+    pkg.__path__ = [root]
+    sys.modules[pkg_name] = pkg
+    return pkg
+
+
+def _ref_module(pkg_name: str, root: str, mod: str):
+    _install_stubs()
+    _load_ref_pkg(pkg_name, root)
+    full = f"{pkg_name}.{mod}"
+    if full in sys.modules:
+        return sys.modules[full]
+    spec = importlib.util.spec_from_file_location(
+        full, os.path.join(root, f"{mod}.py"),
+        submodule_search_locations=None,
+    )
+    m = importlib.util.module_from_spec(spec)
+    sys.modules[full] = m
+    spec.loader.exec_module(m)
+    return m
+
+
+TINY = dict(img_size=32, patch_size=8, width=64, depth=2, heads=2, embed=48)
+
+
+def _build_ref_eva():
+    ev = _ref_module("ref_eva", f"{REF}/eva_clip", "eva_vit_model")
+    torch.manual_seed(0)
+    model = ev.EVAVisionTransformer(
+        img_size=TINY["img_size"], patch_size=TINY["patch_size"],
+        num_classes=TINY["embed"], use_mean_pooling=False, init_values=None,
+        patch_dropout=0.0, embed_dim=TINY["width"], depth=TINY["depth"],
+        num_heads=TINY["heads"], mlp_ratio=2.6667, qkv_bias=True,
+        drop_path_rate=0.0, norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+        xattn=False, rope=True, postnorm=False, pt_hw_seq_len=16,
+        intp_freq=True, naiveswiglu=True, subln=True,
+    )
+    return model.eval()
+
+
+def _our_eva():
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+
+    cfg = CLIPConfig(
+        embed_dim=TINY["embed"],
+        vision=VisionConfig(
+            image_size=TINY["img_size"], layers=TINY["depth"], width=TINY["width"],
+            head_width=TINY["width"] // TINY["heads"], patch_size=TINY["patch_size"],
+            mlp_ratio=2.6667, rope=True, pt_hw_seq_len=16, intp_freq=True,
+            naiveswiglu=True, subln=True, eva_model_name="tiny-golden",
+        ),
+        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
+        name="tiny-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    return cfg, model, params
+
+
+@pytest.fixture(scope="module")
+def eva_pair():
+    ref = _build_ref_eva()
+    cfg, model, params = _our_eva()
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+    return ref, cfg, model, params
+
+
+def test_eva_forward_golden(eva_pair):
+    import jax.numpy as jnp
+
+    ref, cfg, model, params = eva_pair
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img).permute(0, 3, 1, 2), return_all_features=False)
+    got = model.apply({"params": params}, jnp.asarray(img), method="encode_image")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_eva_encode_dense_golden(eva_pair):
+    import jax.numpy as jnp
+
+    ref, cfg, model, params = eva_pair
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.encode_dense(torch.from_numpy(img).permute(0, 3, 1, 2), keep_shape=True)
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), False, True, method="encode_dense"
+    )
+    # ref keep_shape: [B, C, H, W]; ours: [B, H, W, C]
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+def test_eva_dense_at_higher_resolution_golden(eva_pair):
+    """Variable input size: pos-embed bicubic resize + RoPE table rebuild."""
+    import jax.numpy as jnp
+
+    ref, cfg, model, params = eva_pair
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.encode_dense(torch.from_numpy(img).permute(0, 3, 1, 2), keep_shape=True)
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), False, True, method="encode_dense"
+    )
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-2)
+
+
+def test_rope_tables_golden():
+    rope_ref = _ref_module("ref_eva", f"{REF}/eva_clip", "rope")
+    from clipself_tpu.models.rope import rope_tables_np
+
+    dim = 16  # half head dim
+    grid = 7
+    ref = rope_ref.VisionRotaryEmbeddingFast(dim=dim, pt_seq_len=16, ft_seq_len=grid)
+    cos, sin = rope_tables_np(grid, grid, dim, pt_seq_len=16)
+    np.testing.assert_allclose(cos, ref.freqs_cos.numpy(), atol=1e-5)
+    np.testing.assert_allclose(sin, ref.freqs_sin.numpy(), atol=1e-5)
+
+
+def test_tokenizer_golden():
+    tok_ref = _ref_module("ref_oc", REF, "tokenizer")
+    from clipself_tpu.tokenizer import tokenize
+
+    prompts = [
+        "a photo of a cat.",
+        "This is a photo of a traffic light in the scene.",
+        "itap of my dog, a good photo!!",
+        "",
+    ]
+    want = tok_ref.tokenize(prompts).numpy()
+    got = np.asarray(tokenize(prompts))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_openclip_vit_forward_golden():
+    tr = _ref_module("ref_oc", REF, "transformer")
+    torch.manual_seed(1)
+    ref = tr.VisionTransformer(
+        image_size=32, patch_size=8, width=64, layers=2, heads=2, mlp_ratio=4.0,
+        ls_init_value=None, global_average_pool=False, attentional_pool=False,
+        n_queries=0, attn_pooler_heads=1, output_dim=48,
+        patch_dropout=0.0, input_patchnorm=False,
+        act_layer=torch.nn.GELU, norm_layer=partial(torch.nn.LayerNorm, eps=1e-5),
+        output_tokens=False,
+    ).eval()
+
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    cfg = CLIPConfig(
+        embed_dim=48,
+        vision=VisionConfig(
+            image_size=32, layers=2, width=64, head_width=32, patch_size=8,
+            mlp_ratio=4.0, ln_eps=1e-5,
+        ),
+        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
+        name="tiny-oc-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img).permute(0, 3, 1, 2))
+    got = model.apply({"params": params}, jnp.asarray(img), method="encode_image")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_pos_embed_bicubic_golden():
+    """Our matrix-form bicubic == torch F.interpolate(bicubic)."""
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from clipself_tpu.ops.interpolate import resize_2d
+
+    rng = np.random.default_rng(4)
+    pe = rng.normal(size=(1, 16, 4, 4)).astype(np.float32)
+    want = F.interpolate(
+        torch.from_numpy(pe), size=(9, 9), mode="bicubic", align_corners=False
+    ).numpy()
+    got = np.asarray(resize_2d(jnp.asarray(pe), (9, 9), method="bicubic"))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
