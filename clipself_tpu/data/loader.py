@@ -111,11 +111,7 @@ class NativeDistillLoader:
         self.std = np.asarray(OPENAI_DATASET_STD, np.float32)
         self.crop_size = crop_size or dataset.crop_size
 
-    def __iter__(self):
-        b = self.batch_size
-        s = self.ds.det_size
-        m = self.ds.max_anns
-        cs = self.crop_size
+    def _indices(self):
         epoch = 0
         while True:
             order = (
@@ -123,35 +119,62 @@ class NativeDistillLoader:
                 if self.shuffle
                 else np.arange(len(self.ds))
             )
+            b = self.batch_size
             for start in range(0, len(order) - b + 1, b):
-                idxs = order[start : start + b]
-                images = np.zeros((b, s, s, 3), np.float32)
-                crops = np.zeros((b, m, cs, cs, 3), np.float32)
-                boxes = np.zeros((b, m, 5), np.float32)
-                slow = []
-                for j, idx in enumerate(idxs):
-                    plan = self.ds.plan_item(int(idx))
-                    if plan is None:
-                        slow.append(j)
-                        continue
-                    boxes[j] = plan["boxes"]
-                    self.pool.submit_distill_item(
-                        plan["path"], images[j], crops[j], plan["crop_windows"],
-                        self.mean, self.std,
-                    )
-                errors = self.pool.wait()
-                if errors:
-                    # conservative: rebuild every native row via the PIL path
-                    slow = list(range(b))
-                for j in slow:
-                    item = self.ds[int(idxs[j])]
-                    images[j] = item["images"]
-                    crops[j] = item["crops"]
-                    boxes[j] = item["boxes"]
-                yield {"images": images, "boxes": boxes, "crops": crops}
+                yield order[start : start + b]
             epoch += 1
             if hasattr(self.ds, "set_epoch"):
                 self.ds.set_epoch(epoch)
+
+    def _submit(self, pool, idxs):
+        b = self.batch_size
+        s = self.ds.det_size
+        m = self.ds.max_anns
+        cs = self.crop_size
+        buf = {
+            "images": np.zeros((b, s, s, 3), np.float32),
+            "crops": np.zeros((b, m, cs, cs, 3), np.float32),
+            "boxes": np.zeros((b, m, 5), np.float32),
+        }
+        slow = []
+        for j, idx in enumerate(idxs):
+            plan = self.ds.plan_item(int(idx))
+            if plan is None:
+                slow.append(j)
+                continue
+            buf["boxes"][j] = plan["boxes"]
+            pool.submit_distill_item(
+                plan["path"], buf["images"][j], buf["crops"][j],
+                plan["crop_windows"], self.mean, self.std,
+            )
+        return buf, slow, idxs
+
+    def _finish(self, pool, buf, slow, idxs):
+        errors = pool.wait()
+        if errors:
+            slow = list(range(self.batch_size))  # rebuild all rows via PIL
+        for j in slow:
+            item = self.ds[int(idxs[j])]
+            buf["images"][j] = item["images"]
+            buf["crops"][j] = item["crops"]
+            buf["boxes"][j] = item["boxes"]
+        return buf
+
+    def __iter__(self):
+        """Double-buffered: while the trainer consumes batch k, the pool is
+        already decoding batch k+1 (the role of torch DataLoader's prefetch
+        workers in the reference)."""
+        from clipself_tpu.data.native_loader import NativePool
+
+        pools = [self.pool, NativePool()]
+        it = self._indices()
+        pending = self._submit(pools[0], next(it))
+        slot = 0
+        while True:
+            nxt_slot = 1 - slot
+            nxt = self._submit(pools[nxt_slot], next(it))
+            yield self._finish(pools[slot], *pending)
+            pending, slot = nxt, nxt_slot
 
 
 class SyntheticDistillData:

@@ -45,16 +45,23 @@ def nms(
     order = jnp.argsort(-s)  # descending
     b = boxes[order]
     s = s[order]
-    iou = box_iou(b, b)  # [N, N]
-    ranks = jnp.arange(n)
 
-    def body(i, keep):
-        # earlier-ranked kept boxes that overlap i beyond threshold suppress it
-        sup = jnp.any(keep & (ranks < i) & (iou[:, i] > iou_threshold))
-        live = (s[i] > NEG_INF) & ~sup
-        return keep.at[i].set(live)
+    from clipself_tpu.ops.nms_pallas import nms_keep_mask, pallas_nms_available
 
-    keep = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    if pallas_nms_available() and n >= 256:
+        # on-core sequential suppression (~10x faster than the lax loop)
+        keep = nms_keep_mask(b, s > NEG_INF, iou_threshold)
+    else:
+        iou = box_iou(b, b)  # [N, N]
+        ranks = jnp.arange(n)
+
+        def body(i, keep):
+            # earlier-ranked kept boxes overlapping i beyond threshold suppress it
+            sup = jnp.any(keep & (ranks < i) & (iou[:, i] > iou_threshold))
+            live = (s[i] > NEG_INF) & ~sup
+            return keep.at[i].set(live)
+
+        keep = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
     s_kept = jnp.where(keep, s, NEG_INF)
     top_s, top_i = jax.lax.top_k(s_kept, max_out)
     out_boxes = b[top_i]

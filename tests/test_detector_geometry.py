@@ -128,3 +128,29 @@ def test_random_sample_budget():
     assert int(r.pos_mask.sum()) + int(r.neg_mask.sum()) == 32
     assert not bool(jnp.any(r.pos_mask & ~pos))
     assert not bool(jnp.any(r.neg_mask & ~neg))
+
+
+def test_pallas_nms_matches_lax(monkeypatch):
+    """Interpret-mode Pallas NMS == the lax greedy reference."""
+    from clipself_tpu.ops.nms_pallas import nms_keep_mask
+
+    rng = np.random.default_rng(7)
+    boxes = rand_boxes(rng, 200, size=60.0)
+    scores = rng.uniform(size=200).astype(np.float32)
+    order = np.argsort(-scores)
+    sorted_boxes = jnp.asarray(boxes[order])
+    ref = greedy_nms_np(boxes, scores, 0.5)
+    keep = np.asarray(
+        nms_keep_mask(sorted_boxes, jnp.ones(200, bool), 0.5, interpret=True)
+    )
+    got = [int(order[i]) for i in np.where(keep)[0]]
+    # same set of survivors (order within equal scores may differ)
+    assert sorted(got) == sorted(ref)
+    # padding/validity: invalid slots never kept
+    keep2 = np.asarray(
+        nms_keep_mask(
+            sorted_boxes, jnp.asarray([True] * 100 + [False] * 100), 0.5,
+            interpret=True,
+        )
+    )
+    assert not keep2[100:].any()

@@ -141,6 +141,7 @@ def test_native_distill_loader_matches_pil(tmp_path):
     batch = next(iter(loader))
     assert batch["images"].shape == (4, 64, 64, 3)
     assert batch["crops"].shape == (4, 4, 32, 32, 3)
+    ds.set_epoch(0)  # the loader's prefetch may already have advanced it
     for j in range(4):
         ref = ds[j]
         np.testing.assert_allclose(batch["boxes"][j], ref["boxes"], atol=1e-5)
