@@ -29,6 +29,47 @@ def normalize_image(arr: np.ndarray) -> np.ndarray:
     return (arr.astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def rle_decode(rle: dict) -> np.ndarray:
+    """Decode a COCO RLE segmentation (crowd regions) to a binary [H, W]
+    mask. Handles both uncompressed (counts = list) and the compressed
+    LEB128-style string encoding pycocotools produces."""
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, str):
+        counts = _rle_uncompress(counts)
+    mask = np.zeros(h * w, np.uint8)
+    pos = 0
+    val = 0
+    for c in counts:
+        if val:
+            mask[pos : pos + c] = 1
+        pos += c
+        val ^= 1
+    return mask.reshape(w, h).T  # COCO RLE is column-major
+
+
+def _rle_uncompress(s: str) -> list[int]:
+    """pycocotools' compressed counts string -> run lengths."""
+    counts = []
+    i = 0
+    while i < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+        if x & (1 << (5 * k - 1)):  # sign-extend
+            x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
 class DetectionDataset:
     """COCO-style detection dataset with open-vocabulary class mapping.
 
@@ -86,18 +127,22 @@ class DetectionDataset:
     def _rng(self, idx: int) -> np.random.Generator:
         return np.random.default_rng((self.seed, self.epoch, idx))
 
-    def _load(self, image_id):
+    def _load(self, image_id, keep_crowd: bool = False):
         path = os.path.join(self.image_root, self.coco.file_name(image_id))
         img = Image.open(path).convert("RGB")
         anns = [
-            a for a in self.coco.img_to_anns[image_id] if a["category_id"] in self.cat_to_label
+            a
+            for a in self.coco.img_to_anns[image_id]
+            if a["category_id"] in self.cat_to_label
+            and (keep_crowd or not a.get("iscrowd", 0))
         ]
         boxes = np.array(
             [[a["bbox"][0], a["bbox"][1], a["bbox"][0] + a["bbox"][2], a["bbox"][1] + a["bbox"][3]] for a in anns],
             np.float32,
         ).reshape(-1, 4)
         labels = np.array([self.cat_to_label[a["category_id"]] for a in anns], np.int64)
-        return img, boxes, labels, anns
+        crowd = np.array([bool(a.get("iscrowd", 0)) for a in anns], bool)
+        return img, boxes, labels, crowd, anns
 
     def _pad_item(self, arr, boxes, labels, scale, image_id, masks=None):
         s = self.image_size
@@ -127,17 +172,34 @@ class DetectionDataset:
 
     def __getitem__(self, idx: int) -> dict:
         image_id = self.image_ids[idx]
-        img, boxes, labels, anns = self._load(image_id)
-        s = self.image_size
         if self.train:
+            # crowd regions are excluded from training targets (mmdet routes
+            # them to gt_bboxes_ignore; with fixed-shape targets we drop them)
+            img, boxes, labels, _, anns = self._load(image_id, keep_crowd=False)
             return self._train_item(idx, image_id, img, boxes, labels, anns)
-        # eval: keep-ratio fit, pad bottom-right
+        # eval: keep-ratio fit, pad bottom-right; crowd gts kept as IGNORE
+        img, boxes, labels, crowd, anns = self._load(image_id, keep_crowd=True)
+        s = self.image_size
         scale = min(s / img.width, s / img.height)
         nw, nh = int(round(img.width * scale)), int(round(img.height * scale))
         resized = img.resize((nw, nh), Image.BILINEAR)
         arr = np.zeros((s, s, 3), np.float32)
         arr[:nh, :nw] = normalize_image(np.asarray(resized))
-        return self._pad_item(arr, boxes * scale, labels, scale, image_id)
+        masks = None
+        if self.with_mask:
+            # only the first max_gt rasters are kept by _pad_item
+            masks = [
+                self._rasterize_mask(a, scale, (0, 0), (nh, nw), flip=False)
+                for a in anns[: self.max_gt]
+            ]
+        item = self._pad_item(arr, boxes * scale, labels, scale, image_id, masks)
+        # full (unpadded, original-coordinate) gt set for the evaluator —
+        # keys with a leading underscore are skipped by collate()
+        item["_gt_boxes_full"] = boxes
+        item["_gt_labels_full"] = labels
+        item["_gt_ignore_full"] = crowd
+        item["valid_hw"] = np.asarray([nh, nw], np.float32)
+        return item
 
     def _train_item(self, idx, image_id, img, boxes, labels, anns):
         rng = self._rng(idx)
@@ -160,7 +222,8 @@ class DetectionDataset:
         boxes[:, 1::2] = boxes[:, 1::2].clip(0, ch)
 
         # horizontal flip
-        if rng.uniform() < 0.5:
+        do_flip = rng.uniform() < 0.5
+        if do_flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
             flipped = boxes.copy()
             flipped[:, 0] = cw - boxes[:, 2]
@@ -179,24 +242,48 @@ class DetectionDataset:
         masks = None
         if self.with_mask:
             masks = [
-                self._rasterize_mask(a, scale, (x0, y0), (ch, cw)) for a in kept_anns
+                self._rasterize_mask(a, scale, (x0, y0), (ch, cw), flip=do_flip)
+                for a in kept_anns
             ]
         return self._pad_item(arr, boxes, labels, scale, image_id, masks)
 
-    def _rasterize_mask(self, ann, scale, crop_xy, crop_hw):
-        """Polygon segmentation -> stride-4 binary raster in crop coords."""
+    def _rasterize_mask(self, ann, scale, crop_xy, crop_hw, flip: bool = False):
+        """Polygon segmentation -> stride-4 binary raster in crop coords
+        (mirrored when the hflip augmentation fired, so mask targets stay
+        aligned with the flipped image/boxes)."""
         ms = self.image_size // 4
         out = np.zeros((ms, ms), np.float32)
         seg = ann.get("segmentation")
+        if isinstance(seg, dict) and "counts" in seg:
+            # RLE (crowd regions): decode, then box-resample to the raster
+            full = rle_decode(seg)
+            src = Image.fromarray(full * 255)
+            # map original pixels -> raster frame: scale then 1/4
+            rw = max(int(round(full.shape[1] * scale / 4.0)), 1)
+            rh = max(int(round(full.shape[0] * scale / 4.0)), 1)
+            small = np.asarray(src.resize((rw, rh), Image.BILINEAR)) > 127
+            # place into the (possibly cropped) raster
+            ox = int(round(crop_xy[0] / 4.0))
+            oy = int(round(crop_xy[1] / 4.0))
+            ys, xs = min(rh - oy, ms), min(rw - ox, ms)
+            if ys > 0 and xs > 0:
+                out[:ys, :xs] = small[oy : oy + ys, ox : ox + xs]
+            if flip:
+                out[:] = out[:, ::-1]
+            return out
         if not isinstance(seg, list):
             return out
         from PIL import ImageDraw
 
         im = Image.new("1", (ms, ms), 0)
         draw = ImageDraw.Draw(im)
+        cw = crop_hw[1]
         for poly in seg:
             pts = np.asarray(poly, np.float32).reshape(-1, 2)
-            pts = (pts * scale - np.asarray(crop_xy, np.float32)) / 4.0
+            pts = pts * scale - np.asarray(crop_xy, np.float32)
+            if flip:
+                pts[:, 0] = cw - pts[:, 0]
+            pts = pts / 4.0
             if len(pts) >= 3:
                 draw.polygon([tuple(p) for p in pts], fill=1)
         out[:] = np.asarray(im, np.float32)
@@ -204,7 +291,13 @@ class DetectionDataset:
 
 
 def collate(items: list[dict]) -> dict:
-    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+    """Stack batchable keys; underscore-prefixed keys (variable-length
+    per-image eval metadata) are per-item and skipped."""
+    return {
+        k: np.stack([it[k] for it in items])
+        for k in items[0]
+        if not k.startswith("_")
+    }
 
 
 class SyntheticDetectionData:

@@ -27,11 +27,11 @@ from clipself_tpu.detector.fvit import FViTDetector, backbone_taps
 
 def make_predict_fn(det: FViTDetector, clip_model, cfg: FViTConfig, class_embed, base_mask):
     @jax.jit
-    def predict(det_params, clip_params, images):
+    def predict(det_params, clip_params, images, valid_hw):
         taps, dense = backbone_taps(clip_model, clip_params, images, cfg, True)
         return det.apply(
             {"params": det_params}, taps, dense, class_embed, base_mask,
-            method="predict",
+            None, valid_hw, method="predict",
         )
 
     return predict
@@ -80,38 +80,53 @@ def evaluate_detector(
 
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     t0 = time.time()
-    for start in range(0, n - n % batch_size, batch_size):
-        items = [dataset[i] for i in range(start, start + batch_size)]
+    for start in range(0, n, batch_size):
+        real = min(batch_size, n - start)
+        # the last partial batch is padded by repeating its final item (the
+        # padded copies are not scored) — no image is dropped
+        items = [dataset[min(start + j, start + real - 1)] for j in range(batch_size)]
         batch = collate(items)
-        out = predict(det_params, clip_params, jnp.asarray(batch["images"]))
+        out = predict(
+            det_params, clip_params,
+            jnp.asarray(batch["images"]), jnp.asarray(batch["valid_hw"]),
+        )
         boxes, scores, labels = [np.asarray(o) for o in out[:3]]
         probs = np.asarray(out[3]) if cfg.with_mask else None
-        for bi, item in enumerate(items):
+        for bi, item in enumerate(items[:real]):
             ok = scores[bi] > 0.0
             s = float(item["scale"])
             det_boxes = boxes[bi][ok] / s
             det_scores = scores[bi][ok]
             det_labels = labels[bi][ok]
-            gv = item["gt_valid"]
-            gt_boxes = item["gt_boxes"][gv] / s
-            gt_labels = item["gt_labels"][gv]
-            ev.add_image(det_boxes, det_scores, det_labels, gt_boxes, gt_labels)
+            # full (unpadded) gt set in original coordinates; crowd = ignore
+            gt_boxes = item["_gt_boxes_full"]
+            gt_labels = item["_gt_labels_full"]
+            gt_ignore = item["_gt_ignore_full"]
+            ev.add_image(
+                det_boxes, det_scores, det_labels, gt_boxes, gt_labels, gt_ignore
+            )
             if ev_mask is not None:
                 hs = int(np.ceil(cfg.image_size / s / mask_stride))
                 det_m = [
                     paste_mask(probs[bi][j], boxes[bi][ok][j2] / s / mask_stride, (hs, hs))
                     for j2, j in enumerate(np.where(ok)[0])
                 ]
-                gt_m = [
-                    _resize_bool(m, (hs, hs))
-                    for m in item.get("gt_masks", np.zeros((0, 1, 1)))[gv]
-                ]
+                # mask rasters exist for the first max_gt gts; any overflow
+                # gts are marked ignore so they are neither FN nor FP
+                gv = item["gt_valid"]
+                n_m = int(gv.sum())
+                gt_m = [_resize_bool(m, (hs, hs)) for m in item["gt_masks"][gv]]
+                ign_m = np.concatenate(
+                    [gt_ignore[:n_m], np.ones(len(gt_boxes) - n_m, bool)]
+                )
                 ev_mask.add_image(
-                    det_boxes, det_scores, det_labels, gt_boxes, gt_labels,
-                    det_masks=det_m, gt_masks=gt_m,
+                    det_boxes, det_scores, det_labels,
+                    gt_boxes[: len(ign_m)], gt_labels[: len(ign_m)], ign_m,
+                    det_masks=det_m,
+                    gt_masks=gt_m + [np.zeros((hs, hs), bool)] * (len(ign_m) - n_m),
                 )
         if (start // batch_size + 1) % log_every == 0:
-            log.info(f"eval {start + batch_size}/{n} ({(start + batch_size) / (time.time() - t0):.1f} img/s)")
+            log.info(f"eval {start + real}/{n} ({(start + real) / (time.time() - t0):.1f} img/s)")
 
     groups = split.get("freq_groups")
     metrics = ev.summarize(

@@ -19,8 +19,10 @@ from typing import Any, NamedTuple, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import optax
 
 from clipself_tpu.detector.config import FViTConfig
+from clipself_tpu.detector.nms import NEG_INF
 from clipself_tpu.detector.neck import FPN, SimpleFeaturePyramid
 from clipself_tpu.detector.roi_head import (
     FViTBBoxHead,
@@ -180,7 +182,7 @@ class FViTDetector(nn.Module):
         ml = jnp.take_along_axis(
             mask_logits, lab[:, None, None, None], axis=-1
         )[..., 0]
-        bce = jnp.maximum(ml, 0) - ml * tgt_sel + jnp.log1p(jnp.exp(-jnp.abs(ml)))
+        bce = optax.sigmoid_binary_cross_entropy(ml, tgt_sel)
         pos = tgt.pos.reshape(-1)
         per_roi = bce.mean(axis=(1, 2))
         return (per_roi * pos).sum() / jnp.maximum(pos.sum(), 1.0)
@@ -194,12 +196,14 @@ class FViTDetector(nn.Module):
         class_embed,
         base_mask,
         image_hw=None,
+        valid_hw: Optional[jnp.ndarray] = None,
     ):
         """Test-time detection with VLM score fusion.
 
         dense_vlm: [B, gh, gw, D] normalized dense CLIP map (None disables
-        fusion). Returns (boxes [B, D, 4], scores [B, D], labels [B, D]
-        [, mask probs [B, D, 2s, 2s]]).
+        fusion). valid_hw: optional [B, 2] per-image pre-padding (h, w) to
+        clip detections to. Returns (boxes [B, D, 4], scores [B, D],
+        labels [B, D] [, mask probs [B, D, 2s, 2s]]).
         """
         c = self.cfg
         image_hw = image_hw or (c.image_size, c.image_size)
@@ -227,17 +231,28 @@ class FViTDetector(nn.Module):
         else:
             vlm_feats = None
 
-        def per_image(lg, dl, pr, vf):
+        def per_image(lg, dl, pr, ps, vf, vhw):
             if vf is not None:
                 fused = fuse_vlm_scores(lg, vf, class_embed, base_mask, c)
             else:
                 fused = jax.nn.softmax(lg, axis=-1)
-            return rcnn_detections(pr, fused, dl, image_hw, c)
+            # empty NMS slots (score NEG_INF) must not become detections:
+            # zero their probabilities so the score threshold removes them
+            fused = jnp.where((ps > NEG_INF)[:, None], fused, 0.0)
+            return rcnn_detections(pr, fused, dl, image_hw, c, valid_hw=vhw)
 
-        if vlm_feats is None:
-            det = jax.vmap(lambda l, d, p: per_image(l, d, p, None))(logits, deltas, props)
+        if valid_hw is None:
+            valid_hw_b = jnp.broadcast_to(
+                jnp.asarray(image_hw, jnp.float32)[None, :], (b, 2)
+            )
         else:
-            det = jax.vmap(per_image)(logits, deltas, props, vlm_feats)
+            valid_hw_b = valid_hw.astype(jnp.float32)
+        if vlm_feats is None:
+            det = jax.vmap(lambda l, d, p, ps, vhw: per_image(l, d, p, ps, None, vhw))(
+                logits, deltas, props, pscores, valid_hw_b
+            )
+        else:
+            det = jax.vmap(per_image)(logits, deltas, props, pscores, vlm_feats, valid_hw_b)
         boxes, scores, labels = det
 
         if not c.with_mask:

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from clipself_tpu.detector.boxes import box_area, decode_boxes, encode_boxes
 from clipself_tpu.detector.config import FViTConfig
 from clipself_tpu.detector.layers import ConvNorm, make_norm
-from clipself_tpu.detector.nms import multiclass_nms
+from clipself_tpu.detector.nms import NEG_INF, multiclass_nms
 from clipself_tpu.detector.targets import assign_max_iou, random_sample
 from clipself_tpu.ops.roi_align import roi_align_1x1, roi_align_nxn
 
@@ -172,7 +172,7 @@ def sample_rois(
 
     def per_image(props, pscores, gts, glabels, gvalid, key):
         boxes = jnp.concatenate([props, gts], axis=0)
-        valid_rows = jnp.concatenate([pscores > -1e9, gvalid], axis=0)
+        valid_rows = jnp.concatenate([pscores > NEG_INF, gvalid], axis=0)
         a = assign_max_iou(
             boxes, gts, gvalid,
             cfg.rcnn_assign.pos_iou_thr, cfg.rcnn_assign.neg_iou_thr,
@@ -181,18 +181,26 @@ def sample_rois(
         pos = a.pos & valid_rows
         neg = a.neg & valid_rows
         a = a._replace(pos=pos, neg=neg)
-        s = random_sample(key, a, cfg.rcnn_sample.num, cfg.rcnn_sample.pos_fraction)
+        ksample, kgather = jax.random.split(key)
+        s = random_sample(ksample, a, cfg.rcnn_sample.num, cfg.rcnn_sample.pos_fraction)
         labels = jnp.where(
             s.pos_mask, glabels[a.gt_idx].astype(jnp.int32), cfg.num_classes
         )
         tgt = encode_boxes(boxes, gts[a.gt_idx], stds=cfg.bbox_stds)
+        chosen = s.pos_mask | s.neg_mask
+        # fixed-budget gather: the RoI head should only see the sampled
+        # `num` rois, not all proposals+gts (halves its FLOPs; the sample
+        # budget is static so shapes stay static)
+        prio = chosen.astype(jnp.float32) * 2.0 + s.pos_mask.astype(jnp.float32)
+        prio = prio + jax.random.uniform(kgather, prio.shape) * 0.5
+        _, sel = jax.lax.top_k(prio, cfg.rcnn_sample.num)
         return RoITargets(
-            rois=boxes,
-            labels=labels,
-            chosen=s.pos_mask | s.neg_mask,
-            pos=s.pos_mask,
-            reg_targets=tgt,
-            gt_idx=a.gt_idx,
+            rois=boxes[sel],
+            labels=labels[sel],
+            chosen=chosen[sel],
+            pos=s.pos_mask[sel],
+            reg_targets=tgt[sel],
+            gt_idx=a.gt_idx[sel],
         )
 
     keys = jax.random.split(rng, b)
@@ -266,12 +274,19 @@ def rcnn_detections(
     deltas: jnp.ndarray,
     image_hw: tuple[int, int],
     cfg: FViTConfig,
+    valid_hw: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode class-agnostic boxes and run multiclass NMS. Per image.
 
     fused_scores: [R, K+1] probabilities (background last, dropped here).
+    valid_hw: optional (2,) = this image's pre-padding (h, w) — detections
+    are clipped to it (mmdet clips to per-image img_shape, not the padded
+    batch square).
     Returns (boxes [D, 4], scores [D], labels [D])."""
     boxes = decode_boxes(rois, deltas, stds=cfg.bbox_stds, max_shape=image_hw)
+    if valid_hw is not None:
+        hi = jnp.stack([valid_hw[1], valid_hw[0], valid_hw[1], valid_hw[0]])
+        boxes = jnp.clip(boxes, 0.0, hi[None, :].astype(boxes.dtype))
     scores = fused_scores[:, :-1]
     return multiclass_nms(
         boxes, scores,

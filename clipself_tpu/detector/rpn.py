@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from clipself_tpu.detector.anchors import multi_level_anchors
 from clipself_tpu.detector.boxes import clip_boxes, decode_boxes, encode_boxes
@@ -118,7 +119,7 @@ def rpn_loss(
         chosen = s.pos_mask | s.neg_mask
         labels = s.pos_mask.astype(jnp.float32)
         # BCE with logits over sampled anchors, avg over the sample budget
-        ce = optax_bce(scores, labels)
+        ce = optax.sigmoid_binary_cross_entropy(scores, labels)
         n_sampled = jnp.maximum(chosen.sum(), 1.0)
         loss_cls = (ce * chosen).sum() / n_sampled
         # L1 on positive anchors against encoded gt deltas
@@ -135,10 +136,6 @@ def rpn_loss(
         "rpn_num_pos": npos.mean(),
     }
     return lc.mean() + lb.mean(), metrics
-
-
-def optax_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
 def rpn_proposals(

@@ -44,7 +44,9 @@ def assign_max_iou(
     gt_idx = jnp.argmax(iou, axis=1)
     max_iou = jnp.max(iou, axis=1)
     pos = max_iou >= pos_iou_thr
-    neg = (max_iou < neg_iou_thr) & (max_iou >= 0.0)
+    # mmdet: anchors with no overlapping (or no valid) gt are NEGATIVE —
+    # images whose gts were all cropped away still train background
+    neg = max_iou < neg_iou_thr
 
     if match_low_quality:
         # each gt claims its best-overlapping anchor(s) if IoU >= min_pos_iou.

@@ -86,7 +86,10 @@ def parse_args(argv=None):
     # infra
     p.add_argument("--name", default=None)
     p.add_argument("--logs", default="./logs")
-    p.add_argument("--resume", default=None)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir, or 'auto' = latest under the run dir")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of steps 10-14 here")
     p.add_argument("--save-frequency", type=int, default=1)
     p.add_argument("--zeroshot-frequency", type=int, default=1)
     p.add_argument("--export-torch", action="store_true",
@@ -238,8 +241,21 @@ def main(argv=None):
     state = TrainState.create(params, tx)
     start_epoch = 0
     if args.resume:
-        state, start_epoch = ckpt.restore_checkpoint(args.resume, state)
-        log.info(f"resumed from {args.resume} at epoch {start_epoch}")
+        if args.resume == "auto" and not args.name:
+            raise ValueError(
+                "--resume auto needs --name (without it each run creates a "
+                "fresh timestamped dir, so there is nothing to resume from)"
+            )
+        resume_dir = (
+            os.path.join(out_dir, "checkpoints") if args.resume == "auto" else args.resume
+        )
+        if os.path.isdir(resume_dir):
+            state, start_epoch = ckpt.restore_checkpoint(resume_dir, state)
+            log.info(f"resumed from {resume_dir} at epoch {start_epoch}")
+        elif args.resume != "auto":
+            raise FileNotFoundError(resume_dir)
+        else:
+            log.info("--resume auto: no checkpoint yet, starting fresh")
 
     step_fn = make_train_step(model, tx, loss_fn, mesh=mesh)
     rng = jax.random.PRNGKey(args.seed)
@@ -290,9 +306,17 @@ def main(argv=None):
             data["train_ds"].set_epoch(epoch)
         t_start = time.time()
         losses = []
+        profile_start = min(10, max(steps_per_epoch - 2, 0))
+        profile_stop = min(profile_start + 5, steps_per_epoch - 1)
         for i in range(steps_per_epoch):
+            if args.profile_dir and epoch == start_epoch and i == profile_start:
+                jax.profiler.start_trace(args.profile_dir)
             batch = maybe_multiscale(shard_batch(mesh, next(train_iter)))
             state, metrics = step_fn(state, teacher_params, batch, rng)
+            if args.profile_dir and epoch == start_epoch and i == profile_stop:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                log.info(f"profiler trace written to {args.profile_dir}")
             if (i + 1) % args.log_every_n_steps == 0 or i + 1 == steps_per_epoch:
                 loss = float(metrics["loss"])
                 losses.append(loss)

@@ -14,6 +14,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from clipself_tpu.models.clip import l2_normalize
 from clipself_tpu.ops.interpolate import resize_nhwc
@@ -156,13 +157,9 @@ def regionclip_loss(
     cls_mask = _fed_class_mask(labels, valid, nouns.shape[0], num_sample_cats, rng)
 
     # BCE-with-logits, summed over sampled classes, mean over valid boxes
-    per_elt = optax_sigmoid_bce(logits, target) * cls_mask[None, :]
+    per_elt = optax.sigmoid_binary_cross_entropy(logits, target) * cls_mask[None, :]
     per_box = per_elt.sum(-1)
     n_valid = jnp.maximum(valid.sum(), 1.0)
     loss = (per_box * valid).sum() / n_valid * contrast_weight
     return loss, {"loss_contrast": loss, "num_boxes": valid.sum()}
 
-
-def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Numerically-stable binary cross entropy with logits."""
-    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))

@@ -177,3 +177,105 @@ def test_transfer_splits_and_presets():
     assert len(o365["all"]) == 365
     p = PRESETS["transfer_voc_vitl14"]
     assert p.num_classes == 20 and p.alpha == p.beta == 0.3
+
+
+def test_evaluate_detector_end_to_end(tiny_coco, monkeypatch):
+    """Full evaluation driver: predict -> rescale -> COCO AP, with masks and
+    a partial final batch; must not crash and must count every image."""
+    import dataclasses
+
+    from tests.test_detector_model import DET_CFG, TINY_CLIP
+    from clipself_tpu.detector import evaluate as ev_mod
+    from clipself_tpu.detector.evaluate import evaluate_detector
+    from clipself_tpu.detector.fvit import FViTDetector
+    from clipself_tpu.models.factory import create_model
+
+    ann, root = tiny_coco
+    cfg = dataclasses.replace(
+        DET_CFG, with_mask=True, mask_convs=1, mask_channels=16, mask_roi_size=4,
+        num_classes=65, image_size=64,
+    )
+    clip_model, clip_params = create_model(TINY_CLIP, dtype=jnp.float32)
+    det = FViTDetector(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ce = rng.normal(size=(66, 32)).astype(np.float32)
+    ce /= np.linalg.norm(ce, axis=-1, keepdims=True)
+
+    from clipself_tpu.detector.data import DetectionDataset
+    from clipself_tpu.detector.classes import coco_split
+
+    names = coco_split()["all"]
+    ds = DetectionDataset(ann, root, names, image_size=64, max_gt=4, train=False, with_mask=True)
+    taps = [jnp.zeros((1, 8, 8, 64), jnp.float32)] * 4
+    rois = jnp.asarray([[[4.0, 4.0, 30.0, 30.0]]])
+    det_params = det.init(jax.random.PRNGKey(1), taps, rois, jnp.asarray(ce))["params"]
+
+    metrics = evaluate_detector(
+        det, det_params, clip_model, clip_params, ds, cfg, ce,
+        dataset_name="coco", batch_size=2, max_images=3,  # 3 images -> partial batch
+    )
+    assert "AP50" in metrics and "segm_AP50" in metrics
+    assert np.isfinite(metrics["mAP"]) or np.isnan(metrics["mAP"])
+
+
+def test_eval_dataset_carries_full_gts_and_crowd(tiny_coco):
+    import json
+
+    ann, root = tiny_coco
+    # add a crowd annotation to image 0
+    data = json.load(open(ann))
+    data["annotations"].append(
+        {"id": 99, "image_id": 0, "category_id": 2, "bbox": [1, 1, 10, 10],
+         "area": 100, "iscrowd": 1}
+    )
+    json.dump(data, open(ann, "w"))
+    names = ["person", "skateboard"]
+    ds = DetectionDataset(ann, root, names, image_size=32, max_gt=4, train=False)
+    it = ds[0]
+    assert it["_gt_boxes_full"].shape == (2, 4)
+    assert list(it["_gt_ignore_full"]) == [False, True]
+    assert it["valid_hw"].tolist() == [24.0, 32.0]
+    # train mode drops the crowd ann
+    tr = DetectionDataset(ann, root, names, image_size=32, max_gt=4, train=True)
+    item = tr[0]
+    assert item["gt_valid"].sum() == 1
+    # collate skips underscore keys
+    from clipself_tpu.detector.data import collate
+
+    b = collate([ds[0], ds[1]])
+    assert "_gt_boxes_full" not in b and "valid_hw" in b
+
+
+def test_rle_decode():
+    from clipself_tpu.detector.data import rle_decode
+
+    # uncompressed, column-major: 2x3 mask
+    rle = {"size": [2, 3], "counts": [1, 2, 3]}
+    m = rle_decode(rle)
+    # column-major runs: col0 = [0,1], col1 = [1,0], col2 = [0,0]... wait:
+    # flat (col-major) = [0, 1, 1, 0, 0, 0] -> reshape(3,2).T
+    want = np.array([[0, 1, 0], [1, 0, 0]], np.uint8)
+    np.testing.assert_array_equal(m, want)
+
+    # compressed round trip via the documented LEB128-style scheme
+    def compress(counts):
+        out = []
+        for i, x in enumerate(counts):
+            if i > 2:
+                x = x - counts[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = not (x == 0 and not (c & 0x10)) and not (x == -1 and (c & 0x10))
+                if more:
+                    c |= 0x20
+                out.append(chr(c + 48))
+        return "".join(out)
+
+    counts = [0, 5, 3, 4, 12]
+    rle2 = {"size": [4, 6], "counts": compress(counts)}
+    m2 = rle_decode(rle2)
+    ref = rle_decode({"size": [4, 6], "counts": counts})
+    np.testing.assert_array_equal(m2, ref)
+    assert m2.sum() == 5 + 4
