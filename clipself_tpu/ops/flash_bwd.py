@@ -1,0 +1,183 @@
+"""Fused one-pass flash-attention backward kernel for TPU.
+
+The bundled Pallas flash attention runs TWO backward passes (dKV then dQ),
+each recomputing the attention matrix — ~3.5x forward FLOPs, and on v5e it
+measures ~25-30 TF/s because the recomputed QK^T matmuls contract over
+head_dim=64 (half the MXU). This kernel computes dQ, dK, dV in ONE pass:
+per (batch, head, kv-block) it streams the query blocks, recomputes S once,
+and derives all three grads — 3 of its 5 matmuls contract over the block
+size (full MXU width) instead of head_dim.
+
+dQ is accumulated in the revisited output block across the sequential kv
+grid axis (TPU grids execute in order, so read-modify-write of a block whose
+index map ignores the kv axis is safe).
+
+Forward pass (and its softmax stats l, m) comes from the bundled kernel via
+`save_residuals`; this module only replaces the backward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512  # 768 overflows VMEM inside the full model graph
+DEFAULT_BLOCK_K = 768
+
+
+def _bwd_kernel(
+    # inputs (blocked refs)
+    q_ref,      # [1, 1, N, D]   full q row for this (b, h)
+    k_ref,      # [1, 1, Bk, D]
+    v_ref,      # [1, 1, Bk, D]
+    do_ref,     # [1, 1, N, D]
+    m_ref,      # [1, 1, 1, N]   row-max stats
+    l_ref,      # [1, 1, 1, N]   row-sum stats
+    di_ref,     # [1, 1, 1, N]   rowsum(dO * O)
+    seg_ref,    # [1, 1, N] int32 segment ids (all-ones when unsegmented)
+    # outputs
+    dq_ref,     # [1, 1, N, D]   revisited across the kv grid axis
+    dk_ref,     # [1, 1, Bk, D]
+    dv_ref,     # [1, 1, Bk, D]
+    *,
+    sm_scale: float,
+    block_q: int,
+):
+    j = pl.program_id(2)
+    n = q_ref.shape[2]
+    d = q_ref.shape[3]
+    bk = k_ref.shape[2]
+    f32 = jnp.float32
+
+    @pl.when(j == 0)
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    k = k_ref[0, 0, :, :].astype(f32)  # [Bk, D]
+    v = v_ref[0, 0, :, :].astype(f32)
+    seg_k = seg_ref[0, 0, pl.ds(j * bk, bk)]  # [Bk]
+    dk_acc = jnp.zeros((bk, d), f32)
+    dv_acc = jnp.zeros((bk, d), f32)
+
+    num_q = n // block_q
+
+    def qloop(i, carry):
+        dk_acc, dv_acc = carry
+        qs = pl.ds(i * block_q, block_q)
+        qb = q_ref[0, 0, qs, :].astype(f32)        # [Bq, D]
+        dob = do_ref[0, 0, qs, :].astype(f32)      # [Bq, D]
+        mb = m_ref[0, 0, 0, qs].astype(f32)[:, None]   # [Bq, 1]
+        lb = l_ref[0, 0, 0, qs].astype(f32)[:, None]
+        dib = di_ref[0, 0, 0, qs].astype(f32)[:, None]
+        seg_q = seg_ref[0, 0, qs]
+
+        s = jax.lax.dot_general(
+            qb, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        ) * sm_scale                                  # [Bq, Bk]
+        linv = jnp.where(lb > 0.0, 1.0 / lb, 0.0)
+        p = jnp.exp(s - mb) * linv                    # [Bq, Bk]
+        segmask = (seg_q[:, None] == seg_k[None, :]).astype(f32)
+        p = p * segmask
+
+        # dV += P^T @ dO      (contraction over Bq — full MXU width)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, dob, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        # dP = dO @ V^T
+        dp = jax.lax.dot_general(
+            dob, v, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+        ds = p * (dp - dib) * sm_scale                # [Bq, Bk]
+        # dQ_i += dS @ K      (contraction over Bk — full width)
+        dq_blk = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        dq_ref[0, 0, qs, :] += dq_blk.astype(dq_ref.dtype)
+        # dK += dS^T @ Q      (contraction over Bq — full width)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, qb, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        return dk_acc, dv_acc
+
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_q, qloop, (dk_acc, dv_acc))
+    dk_ref[0, 0, :, :] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0, 0, :, :] = dv_acc.astype(dv_ref.dtype)
+
+
+def flash_attention_bwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    o: jnp.ndarray,
+    l: jnp.ndarray,
+    m: jnp.ndarray,
+    do: jnp.ndarray,
+    segment_ids=None,
+    sm_scale: float = 1.0,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+):
+    """One-pass flash backward.
+
+    q/k/v/o/do: [B, H, N, D]; l/m: [B, H, N]; segment_ids: [B, N] or None.
+    Returns (dq, dk, dv) in q.dtype.
+    """
+    b, h, n, d = q.shape
+    if n % block_q or n % block_k:
+        block_q = block_k = 128 if n % 768 else 768
+        assert n % block_q == 0, f"seq {n} not blockable"
+    f32 = jnp.float32
+    di = jnp.sum(o.astype(f32) * do.astype(f32), axis=-1)  # [B, H, N]
+    stats_spec = pl.BlockSpec(
+        (1, 1, 1, n), lambda bi, hi, ji: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+    )
+    row_spec = pl.BlockSpec(
+        (1, 1, n, d), lambda bi, hi, ji: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, block_k, d), lambda bi, hi, ji: (bi, hi, ji, 0), memory_space=pltpu.VMEM
+    )
+    seg_spec = pl.BlockSpec((1, 1, n), lambda bi, hi, ji: (bi, 0, 0), memory_space=pltpu.VMEM)
+    if segment_ids is None:
+        seg = jnp.ones((b, 1, n), jnp.int32)
+    else:
+        seg = segment_ids.astype(jnp.int32).reshape(b, 1, n)
+
+    grid = (b, h, n // block_k)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, sm_scale=sm_scale, block_q=block_q),
+        grid=grid,
+        in_specs=[
+            row_spec,              # q
+            kv_spec,               # k
+            kv_spec,               # v
+            row_spec,              # do
+            stats_spec,            # m
+            stats_spec,            # l
+            stats_spec,            # di
+            seg_spec,              # seg
+        ],
+        out_specs=[
+            row_spec,              # dq (revisited over j)
+            kv_spec,               # dk
+            kv_spec,               # dv
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, d), f32),
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(
+        q, k, v, do,
+        m[:, :, None, :], l[:, :, None, :], di[:, :, None, :], seg,
+    )
+    return dq.astype(q.dtype), dk, dv
