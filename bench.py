@@ -42,7 +42,7 @@ def main():
     from clipself_tpu.train.optim import build_optimizer, make_schedule
     from clipself_tpu.train.step import TrainState, make_train_step
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "4"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "2"))  # b=2 measured fastest per chip (13.0 vs 11.8 at b=4); also the reference per-device batch
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "1024"))
     crop_size = int(os.environ.get("BENCH_CROP_SIZE", "224"))
     max_boxes = int(os.environ.get("BENCH_MAX_BOXES", "20"))

@@ -114,7 +114,7 @@ def _pallas_flash(q, k, v, scale, segment_mask=None):
         block_q_dq=bwd_block,
     )
     npad_total = q.shape[2]
-    if _FUSED_BWD and npad_total % 768 == 0:
+    if _FUSED_BWD and npad_total % 512 == 0:
         # our fused one-pass backward (flash_bwd.py) — bundled forward
         if segment_ids is not None:
             segf = segment_ids.q.astype(jnp.float32)

@@ -129,8 +129,12 @@ def flash_attention_bwd(
     """
     b, h, n, d = q.shape
     if n % block_q or n % block_k:
-        block_q = block_k = 128 if n % 768 else 768
-        assert n % block_q == 0, f"seq {n} not blockable"
+        for cand in (768, 512, 256, 128):
+            if n % cand == 0:
+                block_q = block_k = cand
+                break
+        else:
+            raise ValueError(f"seq {n} not blockable")
     f32 = jnp.float32
     di = jnp.sum(o.astype(f32) * do.astype(f32), axis=-1)  # [B, H, N]
     stats_spec = pl.BlockSpec(
