@@ -85,6 +85,11 @@ def _pallas_flash(q, k, v, scale, segment_mask=None):
         block = native
         pad = 0
     else:
+        if segment_mask is not None:
+            raise ValueError(
+                "segment_mask requires a sequence already padded to a flash "
+                f"block multiple; got n={n}"
+            )
         block = 512 if n >= 512 else 128
         pad = (-n) % block
     if pad:
@@ -99,7 +104,12 @@ def _pallas_flash(q, k, v, scale, segment_mask=None):
     # measured on v5e: 768 blocks are ~14% faster than 512 for the backward
     # kernels at 4.6k tokens; larger blocks exceed the 16MB VMEM budget
     npad = q.shape[2]
-    bwd_block = 768 if npad % 768 == 0 else block
+    if npad % 768 == 0:
+        bwd_block = 768
+    elif npad % 512 == 0:
+        bwd_block = 512  # never above 768 (VMEM), even when fwd block is 1024
+    else:
+        bwd_block = min(block, 512)
     block_sizes = BlockSizes(
         block_q=block,
         block_k_major=block,
@@ -113,13 +123,12 @@ def _pallas_flash(q, k, v, scale, segment_mask=None):
         block_k_dq=bwd_block,
         block_q_dq=bwd_block,
     )
-    npad_total = q.shape[2]
-    if _FUSED_BWD and npad_total % 512 == 0:
+    if _FUSED_BWD and npad % 512 == 0:
         # our fused one-pass backward (flash_bwd.py) — bundled forward
         if segment_ids is not None:
             segf = segment_ids.q.astype(jnp.float32)
         else:
-            segf = jnp.ones((b, npad_total), jnp.float32)
+            segf = jnp.ones((b, npad), jnp.float32)
         out = _flash_fused_vjp(q, k, v, segf, scale, block)
     else:
         out = flash_attention(
@@ -139,11 +148,11 @@ def _flash_fused_vjp(q, k, v, segf, scale, block):
     q/k/v: [B, H, N, D]; segf: [B, N] float validity row (all-ones = no
     segmenting; kept float so custom_vjp cotangents are well-typed).
     """
-    out, _, _ = _bundled_fwd(q, k, v, segf, scale, block)
-    return out
+    # primal (inference) path: no residuals — l/m aux outputs are pure waste
+    return _bundled_fwd(q, k, v, segf, scale, block, save_residuals=False)
 
 
-def _bundled_fwd(q, k, v, segf, scale, block):
+def _bundled_fwd(q, k, v, segf, scale, block, save_residuals):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,
         _flash_attention_impl,
@@ -152,12 +161,12 @@ def _bundled_fwd(q, k, v, segf, scale, block):
     ids = segf.astype(jnp.int32)
     seg = SegmentIds(q=ids, kv=ids)
     return _flash_attention_impl(
-        q, k, v, None, seg, True, False, scale, 1, block, block, block, False
+        q, k, v, None, seg, save_residuals, False, scale, 1, block, block, block, False
     )
 
 
 def _flash_fused_fwd(q, k, v, segf, scale, block):
-    out, l, m = _bundled_fwd(q, k, v, segf, scale, block)
+    out, l, m = _bundled_fwd(q, k, v, segf, scale, block, save_residuals=True)
     return out, (q, k, v, segf, out, l, m)
 
 
@@ -199,7 +208,10 @@ def multi_head_attention(
     if impl == "auto":
         use_flash = mask is None and n >= _FLASH_MIN_SEQ and _flash_available()
     else:
-        use_flash = impl == "flash"
+        # an additive mask cannot be expressed to the flash kernel; a forced
+        # 'flash' with a mask silently computing unmasked attention would be
+        # a correctness trap — fall back to the masked XLA path
+        use_flash = impl == "flash" and mask is None
     if use_flash:
         qt = jnp.swapaxes(q, 1, 2)  # [B, H, N, D]
         kt = jnp.swapaxes(k, 1, 2)

@@ -78,10 +78,12 @@ def _bwd_kernel(
         s = jax.lax.dot_general(
             qb, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
         ) * sm_scale                                  # [Bq, Bk]
+        # mask BEFORE exp: a masked pair whose raw logit exceeds m would
+        # otherwise produce exp -> inf, and inf * 0 = NaN in the grads
+        segmask = seg_q[:, None] == seg_k[None, :]
+        s = jnp.where(segmask, s, -jnp.inf)
         linv = jnp.where(lb > 0.0, 1.0 / lb, 0.0)
         p = jnp.exp(s - mb) * linv                    # [Bq, Bk]
-        segmask = (seg_q[:, None] == seg_k[None, :]).astype(f32)
-        p = p * segmask
 
         # dV += P^T @ dO      (contraction over Bq — full MXU width)
         dv_acc = dv_acc + jax.lax.dot_general(

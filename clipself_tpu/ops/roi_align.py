@@ -37,12 +37,13 @@ def _axis_weights(lo: jnp.ndarray, length: jnp.ndarray, size: int, max_samples: 
       (weights [N, size], num_samples [N]) where weights sums each sample's
       bilinear contribution (NOT yet divided by the sample count).
     """
-    n = lo.shape[0]
-    grid = jnp.maximum(jnp.ceil(length), 1.0)  # adaptive sample count, >= 1
-    num = jnp.minimum(grid, float(max_samples))
+    # torchvision aligned=True: a degenerate roi (extent <= 0) gets ZERO
+    # samples and therefore a zero output — do not clamp the grid to 1
+    grid = jnp.ceil(length)
+    num = jnp.clip(grid, 0.0, float(max_samples))
     i = jnp.arange(max_samples, dtype=lo.dtype)  # [S]
-    # sample position: lo + (i + 0.5) * length / grid
-    pos = lo[:, None] + (i[None, :] + 0.5) * (length / grid)[:, None]  # [N, S]
+    denom = jnp.maximum(grid, 1.0)  # keep positions finite when grid == 0
+    pos = lo[:, None] + (i[None, :] + 0.5) * (length / denom)[:, None]  # [N, S]
     sample_mask = i[None, :] < num[:, None]
 
     # torchvision bilinear_interpolate: points outside [-1, size] contribute 0
@@ -132,17 +133,17 @@ def _bin_axis_weights(
     = ceil(bin_extent), sample position
     ``lo + bin*bin_extent + (i + 0.5) * bin_extent / grid``.
     """
-    n = lo.shape[0]
     bin_ext = length / out_bins  # [N]
-    grid = jnp.maximum(jnp.ceil(bin_ext), 1.0)
-    num = jnp.minimum(grid, float(max_samples))
+    grid = jnp.ceil(bin_ext)  # 0 samples for degenerate rois (see above)
+    num = jnp.clip(grid, 0.0, float(max_samples))
     i = jnp.arange(max_samples, dtype=lo.dtype)  # [S]
     bins = jnp.arange(out_bins, dtype=lo.dtype)  # [O]
+    denom = jnp.maximum(grid, 1.0)
     # pos[n, o, s]
     pos = (
         lo[:, None, None]
         + bins[None, :, None] * bin_ext[:, None, None]
-        + (i[None, None, :] + 0.5) * (bin_ext / grid)[:, None, None]
+        + (i[None, None, :] + 0.5) * (bin_ext / denom)[:, None, None]
     )
     sample_mask = i[None, None, :] < num[:, None, None]
 

@@ -69,3 +69,33 @@ def test_fused_vjp_wrapper_grads_cpu():
 
     g = jax.grad(f)(q)
     assert g.shape == q.shape and np.isfinite(np.asarray(g)).all()
+
+
+def test_fused_bwd_no_nan_with_extreme_masked_logits():
+    """A masked (q,k) pair whose raw logit exceeds the masked row max must
+    not produce inf*0=NaN grads (mask is applied before exp)."""
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(1, 1, N, D)), jnp.float32)
+    # padding keys with huge magnitude -> raw logits far above the valid max
+    k = jnp.asarray(
+        np.concatenate(
+            [rng.normal(size=(1, 1, 128, D)), 40.0 * np.ones((1, 1, N - 128, D))], 2
+        ),
+        jnp.float32,
+    )
+    v = jnp.asarray(rng.normal(size=(1, 1, N, D)), jnp.float32)
+    do = jnp.asarray(rng.normal(size=(1, 1, N, D)), jnp.float32)
+    seg = jnp.broadcast_to(
+        jnp.asarray((np.arange(N) < 128).astype(np.int32))[None], (1, N)
+    )
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * SCALE
+    logits = jnp.where(seg[:, None, :, None] == seg[:, None, None, :], logits, -1e30)
+    m = logits.max(-1)
+    l = jnp.exp(logits - m[..., None]).sum(-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, o, l, m, do, segment_ids=seg, sm_scale=SCALE,
+        block_q=128, block_k=128, interpret=True,
+    )
+    for g in (dq, dk, dv):
+        assert np.isfinite(np.asarray(g)).all()

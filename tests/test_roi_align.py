@@ -50,9 +50,12 @@ def oracle_roi_align_1x1(feat, boxes):
         sx0, sy0 = x0 - 0.5, y0 - 0.5
         roi_w = x1 - x0
         roi_h = y1 - y0
-        gh = max(int(np.ceil(roi_h)), 1)
-        gw = max(int(np.ceil(roi_w)), 1)
-        acc = 0.0
+        # torchvision aligned=True: NO clamp — degenerate rois run zero
+        # sampling iterations and output exactly 0 (count is clamped, not
+        # the grid): pytorch/vision roi_align kernel, sampling_ratio <= 0
+        gh = int(np.ceil(roi_h))
+        gw = int(np.ceil(roi_w))
+        acc = np.zeros(feat.shape[-1], np.float32)
         for iy in range(gh):
             yy = sy0 + (iy + 0.5) * roi_h / gh
             for ix in range(gw):
