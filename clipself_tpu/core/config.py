@@ -37,6 +37,11 @@ class VisionConfig:
     ls_init_value: Optional[float] = None
     # EVA02 architecture knobs
     rope: bool = False
+    # BEiT-style decomposed relative position bias (reference
+    # `use_rel_pos_bias`/`use_shared_rel_pos_bias`, `eva_vit_model.py:402,423-448`;
+    # every shipped config uses RoPE instead, kept for EVA01-family parity)
+    use_rel_pos_bias: bool = False
+    use_shared_rel_pos_bias: bool = False
     pt_hw_seq_len: int = 16
     intp_freq: bool = False
     naiveswiglu: bool = False
@@ -82,6 +87,15 @@ class TextConfig:
     attn_mask: bool = True
     quick_gelu: bool = False
     ln_eps: float = 1e-5
+    # HuggingFace text tower (reference `hf_model.py` + config JSONs like
+    # `model_configs/roberta-ViT-B-32.json:10-14`): when hf_model_name is
+    # set the text tower is an HF Flax trunk instead of the CLIP text
+    # transformer, and tokenization routes to the matching HF tokenizer.
+    hf_model_name: Optional[str] = None
+    hf_tokenizer_name: Optional[str] = None
+    hf_model_config: Optional[dict] = None  # offline AutoConfig kwargs
+    pooler_type: str = "mean_pooler"
+    proj: str = "linear"
 
 
 @dataclass(frozen=True)
@@ -99,11 +113,15 @@ def _filter_fields(cls, cfg: dict) -> dict:
 
 def config_from_dict(d: dict, name: str = "") -> CLIPConfig:
     vcfg = dict(d.get("vision_cfg", {}))
+    tcfg = dict(d.get("text_cfg", {}))
+    if d.get("quick_gelu"):  # reference puts this at top level in some configs
+        vcfg.setdefault("quick_gelu", True)
+        tcfg.setdefault("quick_gelu", True)
     if isinstance(vcfg.get("layers"), (list, tuple)):
         vcfg["resnet_layers"] = tuple(vcfg["layers"])
         vcfg["layers"] = len(vcfg["resnet_layers"])
     vision = VisionConfig(**_filter_fields(VisionConfig, vcfg))
-    text = TextConfig(**_filter_fields(TextConfig, d.get("text_cfg", {})))
+    text = TextConfig(**_filter_fields(TextConfig, tcfg))
     return CLIPConfig(embed_dim=d["embed_dim"], vision=vision, text=text, name=name)
 
 

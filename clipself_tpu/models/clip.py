@@ -58,9 +58,22 @@ class CLIP(nn.Module):
             name="visual",
             **extra,
         )
-        self.text = TextTransformer(
-            self.cfg.text, embed_dim=self.cfg.embed_dim, dtype=self.dtype, name="text"
-        )
+        if self.cfg.text.hf_model_name:
+            from clipself_tpu.models.hf_text import HFTextTower
+
+            self.text = HFTextTower(
+                self.cfg.text.hf_model_name,
+                output_dim=self.cfg.embed_dim,
+                pooler_type=self.cfg.text.pooler_type,
+                proj=self.cfg.text.proj,
+                hf_config_kwargs=self.cfg.text.hf_model_config,
+                dtype=self.dtype,
+                name="text",
+            )
+        else:
+            self.text = TextTransformer(
+                self.cfg.text, embed_dim=self.cfg.embed_dim, dtype=self.dtype, name="text"
+            )
         self.logit_scale = self.param(
             "logit_scale",
             nn.initializers.constant(np.log(1.0 / 0.07)),

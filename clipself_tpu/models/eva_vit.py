@@ -44,6 +44,50 @@ def _layer_norm(name: str, eps: float):
     return nn.LayerNorm(epsilon=eps, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
 
 
+def _rel_pos_index(window: tuple[int, int]):
+    """Static BEiT relative-position index over a (wh, ww) grid plus CLS:
+    pairwise (dy, dx) offsets bucketed into a (2wh-1)(2ww-1) table, with three
+    extra buckets for cls→token / token→cls / cls→cls (behavioral parity with
+    reference `RelativePositionBias`, `eva_vit_model.py:359-393`)."""
+    import numpy as np
+
+    wh, ww = window
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)  # [2, wh*ww]
+    rel = (flat[:, :, None] - flat[:, None, :]).transpose(1, 2, 0)  # [N, N, 2]
+    rel = rel + np.array([wh - 1, ww - 1])  # shift to start from 0
+    num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
+    idx = np.zeros((wh * ww + 1, wh * ww + 1), np.int32)
+    idx[1:, 1:] = rel[:, :, 0] * (2 * ww - 1) + rel[:, :, 1]
+    idx[0, :] = num_rel - 3
+    idx[:, 0] = num_rel - 2
+    idx[0, 0] = num_rel - 1
+    return idx, num_rel
+
+
+class RelPosBias(nn.Module):
+    """Learned decomposed relative position bias, returned as an additive
+    [1, heads, N+1, N+1] attention bias. The index is a trace-time constant;
+    the gather lowers to one [num_rel, H] -> [N+1, N+1, H] take."""
+
+    window: tuple[int, int]
+    num_heads: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        idx, num_rel = _rel_pos_index(self.window)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.zeros,
+            (num_rel, self.num_heads),
+            jnp.float32,
+        )
+        n1 = idx.shape[0]
+        bias = jnp.take(table, jnp.asarray(idx.reshape(-1)), axis=0)
+        bias = bias.reshape(n1, n1, self.num_heads)
+        return jnp.transpose(bias, (2, 0, 1))[None]
+
+
 class EvaAttention(nn.Module):
     cfg: VisionConfig
     dtype: Dtype = jnp.float32
@@ -66,6 +110,14 @@ class EvaAttention(nn.Module):
             _layer_norm("inner_attn_ln", c.ln_eps) if c.subln else None
         )
         self.proj = nn.Dense(dim, name="proj", **kw)
+        if c.use_rel_pos_bias:
+            # per-block table (reference passes `window_size` into each
+            # block's Attention when use_rel_pos_bias, `eva_vit_model.py:448`)
+            self.rel_pos_bias = RelPosBias(
+                window=(c.grid_size, c.grid_size),
+                num_heads=c.num_heads,
+                name="rel_pos_bias",
+            )
 
     def _qkv(self, x: jnp.ndarray):
         c = self.cfg
@@ -114,6 +166,15 @@ class EvaAttention(nn.Module):
 
             q = rot(q)
             k = rot(k)
+        if c.use_rel_pos_bias:
+            bias = self.rel_pos_bias()
+            if bias.shape[-1] != q.shape[1]:
+                raise ValueError(
+                    f"rel-pos-bias window {bias.shape[-1]} != sequence {q.shape[1]}; "
+                    "rel-pos models are fixed-resolution (resize the table at "
+                    "checkpoint load for other input sizes)"
+                )
+            mask = bias if mask is None else mask + bias
         scale = c.head_width ** -0.5
         out = multi_head_attention(
             q, k, v, scale, mask=mask, impl=self.attn_impl, segment_mask=seg
@@ -279,6 +340,13 @@ class EvaViT(nn.Module):
         self.head = nn.Dense(
             self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32, name="head"
         )
+        if c.use_shared_rel_pos_bias:
+            # one table shared by every block (reference `eva_vit_model.py:423-424`)
+            self.rel_pos_bias = RelPosBias(
+                window=(c.grid_size, c.grid_size),
+                num_heads=c.num_heads,
+                name="rel_pos_bias",
+            )
 
     # ---- embedding ----------------------------------------------------
 
@@ -323,6 +391,10 @@ class EvaViT(nn.Module):
             or n < _FLASH_MIN_SEQ
             or flash_block_size(n)
             or not _flash_available()
+            # rel-pos-bias is an additive mask -> XLA attention path, and the
+            # bias table is sized to the true sequence; never pad
+            or self.cfg.use_rel_pos_bias
+            or self.cfg.use_shared_rel_pos_bias
         ):
             return t, None, n
         pad = (-n) % 512
@@ -333,6 +405,13 @@ class EvaViT(nn.Module):
             (jnp.arange(n + pad) < n)[None, :], (t.shape[0], n + pad)
         )
         return tp, seg, n
+
+    def _shared_bias(self) -> Optional[jnp.ndarray]:
+        """Shared rel-pos attention bias, or None (reference computes it once
+        per forward and hands it to every block, `eva_vit_model.py:557-562`)."""
+        if self.cfg.use_shared_rel_pos_bias:
+            return self.rel_pos_bias()
+        return None
 
     # ---- public protocol ----------------------------------------------
 
@@ -364,8 +443,9 @@ class EvaViT(nn.Module):
             t, seg, _ = self._pad_for_flash(t)
         else:
             seg = None
+        bias = self._shared_bias()
         for blk in self.blocks:
-            t = blk(t, grid, None, seg, pos_idx)
+            t = blk(t, grid, bias, seg, pos_idx)
         t = self.norm(t).astype(self.dtype)
         return self.head(t[:, 0])
 
@@ -378,8 +458,9 @@ class EvaViT(nn.Module):
         """
         t, grid = self.embed(x)
         t, seg, n = self._pad_for_flash(t)
+        bias = self._shared_bias()
         for blk in self.blocks[:-1]:
-            t = blk(t, grid, None, seg)
+            t = blk(t, grid, bias, seg)
         t = self.blocks[-1].forward_without_attn(t)[:, 1:n]
         t = self.norm(t).astype(self.dtype)
         t = self.head(t)
@@ -441,8 +522,9 @@ class EvaViT(nn.Module):
             return tokens[:, 1:n].reshape(b, gh, gw, c.width)
 
         taps = []
+        bias = self._shared_bias()
         for i, blk in enumerate(self.blocks[:-1]):
-            t = blk(t, grid, None, seg)
+            t = blk(t, grid, bias, seg)
             if i in out_indices:
                 taps.append(to_map(t))
         t = self.blocks[-1].forward_without_attn(t)
@@ -468,10 +550,11 @@ class EvaViT(nn.Module):
         """
         t, grid = self.embed(x)
         t, seg, n = self._pad_for_flash(t)
+        bias = self._shared_bias()
         for blk in self.blocks[:-1]:
-            t = blk(t, grid, None, seg)
+            t = blk(t, grid, bias, seg)
         # image branch: full final block + CLS head
-        ti = self.blocks[-1](t, grid, None, seg)
+        ti = self.blocks[-1](t, grid, bias, seg)
         ti = self.norm(ti).astype(self.dtype)
         x_image = self.head(ti[:, 0])
         x_image = x_image / (

@@ -57,3 +57,20 @@ def create_model(
 
         params = load_pretrained(pretrained, params, cfg)
     return model, params
+
+
+def get_tokenizer(name_or_cfg: Any = None):
+    """Return the tokenizer callable for a model (reference
+    `src/open_clip/factory.py:77-87`): models with an HF text tower get the
+    matching `HFTokenizer`; everything else gets the CLIP BPE `tokenize`."""
+    from clipself_tpu import tokenizer as _tok
+
+    if name_or_cfg is None:
+        return _tok.tokenize
+    cfg = get_model_config(name_or_cfg) if isinstance(name_or_cfg, str) else name_or_cfg
+    hf_name = cfg.text.hf_tokenizer_name or cfg.text.hf_model_name
+    if hf_name:
+        return _tok.HFTokenizer(hf_name)
+    import functools
+
+    return functools.partial(_tok.tokenize, context_length=cfg.text.context_length)

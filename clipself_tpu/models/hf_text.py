@@ -26,10 +26,13 @@ def _hf_flax_module(model_name_or_config, hf_config_kwargs: Optional[dict] = Non
         raise RuntimeError(
             "transformers with Flax support is required for HF text towers"
         ) from e
-    if isinstance(model_name_or_config, str) and "/" not in model_name_or_config:
-        cfg = AutoConfig.for_model(model_name_or_config, **(hf_config_kwargs or {}))
-    elif isinstance(model_name_or_config, str):
-        cfg = AutoConfig.from_pretrained(model_name_or_config)
+    if isinstance(model_name_or_config, str):
+        try:
+            # bare model *type* ("roberta", "bert") → offline config
+            cfg = AutoConfig.for_model(model_name_or_config, **(hf_config_kwargs or {}))
+        except (KeyError, ValueError):
+            # checkpoint name ("roberta-base", "google/mt5-base") → hub config
+            cfg = AutoConfig.from_pretrained(model_name_or_config, **(hf_config_kwargs or {}))
     else:
         cfg = model_name_or_config
     wrapper = FlaxAutoModel.from_config(cfg)

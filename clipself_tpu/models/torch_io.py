@@ -41,6 +41,8 @@ def _vision_key_map(flax_key: tuple[str, ...], cfg: CLIPConfig):
         return "visual.cls_token", None
     if k == ["pos_embed"]:
         return "visual.pos_embed", None
+    if k == ["rel_pos_bias", "relative_position_bias_table"]:
+        return "visual.rel_pos_bias.relative_position_bias_table", None
     if k == ["norm", "scale"]:
         return "visual.norm.weight", None
     if k == ["norm", "bias"]:
@@ -102,6 +104,9 @@ def _vision_key_map(flax_key: tuple[str, ...], cfg: CLIPConfig):
                 return f"{base}.attn.{sub}", None
             if sub == "inner_attn_ln":
                 return f"{base}.attn.inner_attn_ln.{ln[rest[2]]}", None
+            if sub == "rel_pos_bias":
+                # torch keeps the per-block table directly on the attention
+                return f"{base}.attn.relative_position_bias_table", None
             if sub == "proj":
                 t = "linear" if rest[2] == "kernel" else None
                 return f"{base}.attn.proj.{'weight' if t else 'bias'}", t

@@ -146,6 +146,36 @@ def _default_tokenizer() -> SimpleTokenizer:
     return SimpleTokenizer()
 
 
+class HFTokenizer:
+    """HuggingFace tokenizer wrapper with the CLIP `tokenize` calling
+    convention (reference `src/open_clip/tokenizer.py` HFTokenizer): callable
+    on a string or list of strings, returns a padded [N, context_length]
+    int32 id array."""
+
+    def __init__(self, tokenizer_name: str):
+        from transformers import AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_name)
+
+    def save_pretrained(self, dest: str) -> None:
+        self.tokenizer.save_pretrained(dest)
+
+    def __call__(
+        self, texts: Union[str, list[str]], context_length: int = CONTEXT_LENGTH
+    ) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        texts = [_clean_text(t) for t in texts]
+        out = self.tokenizer(
+            texts,
+            return_tensors="np",
+            max_length=context_length,
+            padding="max_length",
+            truncation=True,
+        )
+        return out["input_ids"].astype(np.int32)
+
+
 def tokenize(
     texts: Union[str, list[str]], context_length: int = CONTEXT_LENGTH
 ) -> np.ndarray:

@@ -118,7 +118,10 @@ def build_text_embeddings(
     import jax
     import jax.numpy as jnp
 
-    from clipself_tpu.tokenizer import tokenize
+    from clipself_tpu.models.factory import get_tokenizer
+
+    # routes to the model's tokenizer (HF or CLIP BPE) at its context length
+    tokenizer = get_tokenizer(getattr(model, "cfg", None))
 
     @jax.jit
     def encode(tokens):
@@ -127,7 +130,7 @@ def build_text_embeddings(
     out = []
     for cat in categories:
         prompts = category_prompts(cat, templates)
-        tokens = tokenize(prompts)
+        tokens = tokenizer(prompts)
         embs = []
         for i in range(0, len(tokens), batch_size):
             embs.append(np.asarray(encode(jnp.asarray(tokens[i : i + batch_size]))))

@@ -99,3 +99,14 @@ def local_clip_loss_fn(mesh, axis: str = "data"):
         in_specs=(P(axis), P(axis), P()),
         out_specs=P(),
     )
+
+
+def create_loss(dataset_type: str = "grid_distill"):
+    """Loss routing by dataset type (reference `factory.py:252-264`): the
+    contrastive dataset types get `clip_loss`, everything else the KL
+    distillation variant. The shipped CLIPSelf/RegionCLIP methods compute
+    their own losses and ignore this (as in the reference, where the
+    created loss flows in as an unused argument)."""
+    if dataset_type in ("sanity_check", "clipself", "clipself_proposals", "coco_caption"):
+        return clip_loss
+    return distill_clip_loss

@@ -157,3 +157,42 @@ def test_coca_generate(coca_setup):
         rng=jax.random.PRNGKey(3),
     )
     assert tokens2.shape == (2, 8)
+
+
+def test_clip_with_hf_text_tower_and_tokenizer_routing():
+    """CLIP assembly with an HF text tower (reference roberta-ViT-B-32
+    config shape, factory.py:77-87 tokenizer routing)."""
+    import dataclasses
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model, get_tokenizer
+    from clipself_tpu.tokenizer import tokenize
+
+    cfg = CLIPConfig(
+        embed_dim=16,
+        vision=VisionConfig(image_size=32, patch_size=8, layers=1, width=32, head_width=16),
+        text=TextConfig(
+            hf_model_name="bert",
+            hf_model_config=dict(
+                hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+                intermediate_size=64, vocab_size=100, max_position_embeddings=80,
+            ),
+            proj="mlp",
+        ),
+        name="hf-test",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(1, 100, (2, 77)), jnp.int32)
+    iemb, temb, scale = jax.jit(
+        lambda p, i, t: model.apply({"params": p}, i, t)
+    )(params, img, ids)
+    assert iemb.shape == (2, 16) and temb.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(temb), axis=-1), 1.0, atol=1e-5)
+
+    # BPE routing: a model without an HF text tower gets the CLIP tokenizer
+    tok = get_tokenizer(dataclasses.replace(cfg, text=TextConfig(context_length=13)))
+    out = tok(["a photo of a cat"])
+    assert out.shape == (1, 13)
+    np.testing.assert_array_equal(out[0], tokenize("a photo of a cat", 13)[0])

@@ -160,3 +160,85 @@ def test_patch_dropout_rope_gather():
     assert np.isfinite(np.asarray(out_drop)).all()
     # dropping half the tokens must change the embedding
     assert np.abs(np.asarray(out_drop) - np.asarray(out_det)).max() > 1e-4
+
+
+# ---- relative position bias (reference eva_vit_model.py:359-393,423-448) ----
+
+
+def _rel_cfg(**vision_overrides):
+    import dataclasses
+
+    vision = dataclasses.replace(CFG.vision, rope=False, **vision_overrides)
+    return dataclasses.replace(CFG, vision=vision)
+
+
+def test_rel_pos_index_matches_torch_reference_semantics():
+    """The static index must reproduce the BEiT construction: bucketed 2-D
+    offsets + 3 dedicated cls buckets, symmetric under transpose-negation."""
+    from clipself_tpu.models.eva_vit import _rel_pos_index
+
+    idx, num_rel = _rel_pos_index((3, 4))
+    assert num_rel == 5 * 7 + 3
+    assert idx.shape == (13, 13)
+    # cls rows/cols take the three reserved buckets
+    assert (idx[0, 1:] == num_rel - 3).all()
+    assert (idx[1:, 0] == num_rel - 2).all()
+    assert idx[0, 0] == num_rel - 1
+    # diagonal = zero offset bucket, the table center
+    center = (2 * 3 - 1) * (2 * 4 - 1) // 2
+    assert (np.diag(idx)[1:] == center).all()
+    # same spatial offset -> same bucket: tokens (0,0)->(1,2) and (1,1)->(2,3)
+    def tok(r, c):
+        return 1 + r * 4 + c
+    assert idx[tok(0, 0), tok(1, 2)] == idx[tok(1, 1), tok(2, 3)]
+    # opposite offsets land in mirrored buckets
+    assert idx[tok(1, 2), tok(0, 0)] == (num_rel - 4) - idx[tok(0, 0), tok(1, 2)]
+
+
+@pytest.mark.parametrize("shared", [False, True])
+def test_rel_pos_bias_forward_and_effect(shared):
+    cfg = _rel_cfg(
+        use_rel_pos_bias=not shared, use_shared_rel_pos_bias=shared
+    )
+    model, params = create_model(cfg, dtype=jnp.float32, seed=0)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    tables = [p for p, _ in flat if "relative_position_bias_table" in str(p)]
+    assert len(tables) == (1 if shared else cfg.vision.layers)
+
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 32, 3)), jnp.float32)
+    base = model.apply({"params": params}, img, method="encode_image")
+    assert np.isfinite(np.asarray(base)).all()
+
+    # zero-init tables are a no-op; perturbing one must change the output
+    perturbed = jax.tree_util.tree_map_with_path(
+        lambda p, v: v + 0.5 if "relative_position_bias_table" in str(p) else v,
+        params,
+    )
+    out = model.apply({"params": perturbed}, img, method="encode_image")
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-6
+
+    # dense protocol (value-path final block) also runs under rel-pos
+    dense = model.apply({"params": perturbed}, img, keep_shape=True, method="encode_dense")
+    assert dense.shape == (1, 4, 4, cfg.embed_dim)
+
+
+def test_rel_pos_bias_torch_roundtrip():
+    from clipself_tpu.models.torch_io import export_state_dict, import_state_dict
+
+    cfg = _rel_cfg(use_rel_pos_bias=True)
+    model, params = create_model(cfg, dtype=jnp.float32, seed=0)
+    sd = export_state_dict(params, cfg)
+    assert "visual.blocks.0.attn.relative_position_bias_table" in sd
+    rng = np.random.default_rng(1)
+    for k in sd:
+        if "relative_position_bias_table" in k:
+            sd[k] = rng.normal(size=sd[k].shape).astype(np.float32)
+    params2 = import_state_dict(sd, params, cfg, strict=True)
+    got = np.asarray(
+        jax.tree_util.tree_map(lambda x: x, params2)["visual"]["blocks_0"]["attn"][
+            "rel_pos_bias"
+        ]["relative_position_bias_table"]
+    )
+    np.testing.assert_allclose(
+        got, sd["visual.blocks.0.attn.relative_position_bias_table"]
+    )
