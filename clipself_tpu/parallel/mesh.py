@@ -73,12 +73,60 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dim across the data axis."""
+def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
+    """Shard the leading (batch) dim. By default the batch spans EVERY mesh
+    axis — on a ('data', 'fsdp') mesh the fsdp axis is still data-parallel
+    (ZeRO shards state, not the batch semantics), so the global batch divides
+    over all devices."""
+    if axis is None:
+        axis = tuple(mesh.axis_names)
     return NamedSharding(mesh, P(axis))
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+def shard_batch(mesh: Mesh, batch, axis=None):
     """Device-put a host batch pytree with the batch dim sharded."""
     sh = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def _fsdp_spec(shape, axis_size: int, axis: str, min_size: int) -> P:
+    """Shard the largest dim divisible by `axis_size`; replicate small or
+    indivisible leaves (the standard JAX FSDP layout rule)."""
+    if len(shape) == 0 or int(np.prod(shape)) < min_size:
+        return P()
+    best, best_d = -1, 0
+    for i, d in enumerate(shape):
+        if d % axis_size == 0 and d > best_d:
+            best, best_d = i, d
+    if best < 0:
+        return P()
+    spec: list = [None] * len(shape)
+    spec[best] = axis
+    return P(*spec)
+
+
+def fsdp_shardings(mesh: Mesh, tree, axis: str = "fsdp", min_size: int = 2**15):
+    """ZeRO-3-style sharding pytree for params / optimizer state.
+
+    Each large leaf is sharded over `axis` along its largest divisible
+    dimension; everything else replicates. Applying the same rule to params
+    and optimizer state gives mu/nu the same layout as their param (same
+    shapes -> same spec), so the optimizer update is fully local and XLA
+    turns the gradient all-reduce into reduce-scatter + all-gather.
+
+    Returns a pytree of NamedSharding matching `tree` (works on concrete
+    arrays or ShapeDtypeStructs).
+    """
+    if axis not in mesh.shape or mesh.shape[axis] == 1:
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+    n = mesh.shape[axis]
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, _fsdp_spec(getattr(x, "shape", ()), n, axis, min_size)),
+        tree,
+    )
+
+
+def shard_tree(mesh: Mesh, tree, axis: str = "fsdp", min_size: int = 2**15):
+    """Device-put a pytree with `fsdp_shardings` placement."""
+    sh = fsdp_shardings(mesh, tree, axis=axis, min_size=min_size)
+    return jax.tree.map(jax.device_put, tree, sh)

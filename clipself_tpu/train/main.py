@@ -97,6 +97,9 @@ def parse_args(argv=None):
     p.add_argument("--log-every-n-steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--fsdp-size", type=int, default=1,
+                   help="shard params/optimizer state over this many devices "
+                        "(ZeRO-3 over an 'fsdp' mesh axis; 1 = pure data parallel)")
     return p.parse_args(argv)
 
 
@@ -177,6 +180,14 @@ def main(argv=None):
     log = logging.getLogger("clipself_tpu")
 
     import jax
+
+    # honor JAX_PLATFORMS even when a platform plugin (e.g. a tunneled TPU)
+    # overrides the env var during backend discovery
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from clipself_tpu.core.config import get_model_config
@@ -190,7 +201,18 @@ def main(argv=None):
     cfg = get_model_config(args.model)
     args.input_size = cfg.vision.image_size
     args.downsample_factor = cfg.vision.patch_size
-    mesh = create_mesh(args.n_devices)
+    if args.fsdp_size > 1:
+        n_total = args.n_devices or len(jax.devices())
+        assert n_total % args.fsdp_size == 0, (
+            f"--fsdp-size {args.fsdp_size} must divide device count {n_total}"
+        )
+        mesh = create_mesh(
+            args.n_devices,
+            axis_names=("data", "fsdp"),
+            shape=(n_total // args.fsdp_size, args.fsdp_size),
+        )
+    else:
+        mesh = create_mesh(args.n_devices)
     n_dev = mesh.devices.size
     assert args.batch_size % n_dev == 0, (
         f"global batch {args.batch_size} must divide over {n_dev} devices"
@@ -257,7 +279,19 @@ def main(argv=None):
         else:
             log.info("--resume auto: no checkpoint yet, starting fresh")
 
-    step_fn = make_train_step(model, tx, loss_fn, mesh=mesh)
+    state_sh = teacher_sh = None
+    if args.fsdp_size > 1:
+        from clipself_tpu.parallel.mesh import fsdp_shardings
+
+        state_sh = fsdp_shardings(mesh, state)
+        teacher_sh = fsdp_shardings(mesh, teacher_params)
+        state = jax.tree.map(jax.device_put, state, state_sh)
+        teacher_params = jax.tree.map(jax.device_put, teacher_params, teacher_sh)
+        log.info(f"fsdp: params/opt state sharded over {args.fsdp_size} devices")
+    step_fn = make_train_step(
+        model, tx, loss_fn, mesh=mesh,
+        state_sharding=state_sh, teacher_sharding=teacher_sh,
+    )
     rng = jax.random.PRNGKey(args.seed)
 
     # multiscale: each target size is its own compiled step (static shapes);

@@ -39,6 +39,8 @@ def make_train_step(
     loss_fn: Callable,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    state_sharding=None,
+    teacher_sharding=None,
 ):
     """Build the jitted train step.
 
@@ -46,6 +48,12 @@ def make_train_step(
 
     With a mesh, params/opt state are replicated and the batch is sharded on
     `data`; XLA inserts the gradient all-reduce (psum) automatically.
+
+    FSDP: pass `state_sharding` / `teacher_sharding` (pytrees of NamedSharding
+    from `parallel.mesh.fsdp_shardings`, or a single sharding) to keep params
+    and optimizer state sharded over an `fsdp` mesh axis — XLA then lowers the
+    step to all-gather-weights / reduce-scatter-grads with a fully local
+    optimizer update (ZeRO-3).
     """
 
     def step_fn(state: TrainState, teacher_params, batch, rng):
@@ -69,11 +77,14 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    # the batch spans every mesh axis (an fsdp axis is still data-parallel)
+    data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    st = repl if state_sharding is None else state_sharding
+    tch = repl if teacher_sharding is None else teacher_sharding
     return jax.jit(
         step_fn,
-        in_shardings=(repl, repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st, tch, data, repl),
+        out_shardings=(st, repl),
         donate_argnums=(0,) if donate else (),
     )
 
@@ -83,7 +94,7 @@ def make_eval_fns(model, mesh: Optional[Mesh] = None):
     kw = {}
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
+        data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         kw = dict(in_shardings=(repl, data), out_shardings=data)
 
     @functools.partial(jax.jit, **kw)

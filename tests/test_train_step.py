@@ -145,3 +145,49 @@ def test_schedule_matches_reference_formula():
     np.testing.assert_allclose(
         float(sched(50)), 0.5 * (1 + np.cos(np.pi * e / es)), rtol=1e-6
     )
+
+
+def test_fsdp_step_matches_data_parallel(setup):
+    """ZeRO-3 sharding over a ('data','fsdp') mesh is a layout change only:
+    two steps on the hybrid mesh must reproduce the pure-DP trajectory."""
+    from clipself_tpu.parallel.mesh import fsdp_shardings
+
+    model, params, teacher = setup
+    sched = make_schedule("cosine", 1e-3, warmup=2, total_steps=20)
+
+    def run(mesh, use_fsdp):
+        tx = build_optimizer(
+            params, sched, wd=0.1, unlocked_groups=CFG.vision.layers,
+            num_layers=CFG.vision.layers,
+        )
+        state = TrainState.create(jax.tree.map(jnp.array, params), tx)
+        tch = jax.tree.map(jnp.array, teacher)
+        state_sh = teacher_sh = None
+        if use_fsdp:
+            state_sh = fsdp_shardings(mesh, state, min_size=128)
+            teacher_sh = fsdp_shardings(mesh, tch, min_size=128)
+            # something must actually be sharded for this test to mean anything
+            specs = {s.spec for s in jax.tree.leaves(state_sh)}
+            assert any(s != jax.sharding.PartitionSpec() for s in specs)
+            state = jax.tree.map(jax.device_put, state, state_sh)
+            tch = jax.tree.map(jax.device_put, tch, teacher_sh)
+        step = make_train_step(
+            model, tx, clipself_loss, mesh=mesh,
+            state_sharding=state_sh, teacher_sharding=teacher_sh,
+        )
+        batch = shard_batch(mesh, _batch(np.random.default_rng(0)))
+        rng = jax.random.PRNGKey(0)
+        out = []
+        for _ in range(2):
+            state, metrics = step(state, tch, batch, rng)
+            out.append(float(metrics["loss"]))
+        return out, jax.tree.map(np.asarray, state.params)
+
+    dp_losses, dp_params = run(create_mesh(), use_fsdp=False)
+    fs_mesh = create_mesh(8, axis_names=("data", "fsdp"), shape=(4, 2))
+    fs_losses, fs_params = run(fs_mesh, use_fsdp=True)
+
+    np.testing.assert_allclose(fs_losses, dp_losses, rtol=1e-5)
+    a = dp_params["visual"]["blocks_1"]["mlp"]["w3"]["kernel"]
+    b = fs_params["visual"]["blocks_1"]["mlp"]["w3"]["kernel"]
+    np.testing.assert_allclose(a, b, atol=1e-5)
