@@ -8,7 +8,9 @@ re-design keeps the same capability surface: a vision trunk pooled by
 learnable attention queries (1 contrastive + N caption queries), a causal
 unimodal text encoder, a cross-attending multimodal decoder producing
 caption logits, a combined contrastive+caption loss, and fixed-shape
-`lax.scan` greedy/top-k generation.
+`lax.scan` generation: greedy, top-k, top-p, and (group) beam search with
+min-length and repetition-penalty processors (reference
+`CoCa.generate`/`_generate_beamsearch`, `coca_model.py:167-343`).
 """
 
 from __future__ import annotations
@@ -200,6 +202,39 @@ def coca_loss(out: dict, text: jnp.ndarray, caption_weight: float = 2.0,
     }
 
 
+def _apply_processors(
+    logits: jnp.ndarray,
+    tokens: jnp.ndarray,
+    pos,
+    eot_id: int,
+    pad_id: int,
+    min_len: int,
+    repetition_penalty: float,
+) -> jnp.ndarray:
+    """Logit processors (reference wires HF MinLengthLogitsProcessor +
+    RepetitionPenaltyLogitsProcessor into generate, `coca_model.py:196-201`).
+
+    logits: [B, V] float32; tokens: [B, L] buffer (pad-filled past `pos`).
+    """
+    v = logits.shape[-1]
+    if min_len > 1:
+        logits = jnp.where(
+            (pos < min_len) & (jnp.arange(v)[None, :] == eot_id), -1e9, logits
+        )
+    if repetition_penalty != 1.0:
+        b = tokens.shape[0]
+        seen = jnp.zeros((b, v), bool).at[
+            jnp.arange(b)[:, None], tokens
+        ].set(True)
+        # the pad fill of the static buffer is not a generated token
+        seen = seen.at[:, pad_id].set(False)
+        penalized = jnp.where(
+            logits > 0, logits / repetition_penalty, logits * repetition_penalty
+        )
+        logits = jnp.where(seen, penalized, logits)
+    return logits
+
+
 def generate(
     model: CoCa,
     params,
@@ -209,12 +244,16 @@ def generate(
     max_len: int = 77,
     temperature: float = 1.0,
     top_k: int = 0,
+    top_p: float = 0.0,
+    min_len: int = 1,
+    repetition_penalty: float = 1.0,
     rng: Optional[jax.Array] = None,
 ):
     """Fixed-shape autoregressive caption generation (reference
-    `generation_utils.py` / `CoCa.generate`): greedy when top_k == 0, else
-    top-k sampling; runs as a `lax.scan` over positions with a static-length
-    token buffer (TPU-friendly — no dynamic shapes, one compile).
+    `CoCa.generate` top_k/top_p paths, `coca_model.py:232-343`): greedy when
+    top_k == 0 and top_p == 0, top-k sampling, or nucleus (top-p) sampling;
+    runs as a `lax.scan` over positions with a static-length token buffer
+    (TPU-friendly — no dynamic shapes, one compile).
     """
     b = image.shape[0]
     tokens0 = jnp.full((b, max_len), model.pad_id, jnp.int32).at[:, 0].set(sot_id)
@@ -227,15 +266,30 @@ def generate(
 
     def step(carry, pos):
         tokens, done, key = carry
-        logits = logits_fn(tokens)[:, pos - 1] / max(temperature, 1e-6)
-        if top_k > 0:
+        logits = logits_fn(tokens)[:, pos - 1].astype(jnp.float32) / max(temperature, 1e-6)
+        logits = _apply_processors(
+            logits, tokens, pos, eot_id, model.pad_id, min_len, repetition_penalty
+        )
+        if top_p > 0.0:
+            # keep the smallest prefix of descending-prob tokens whose mass
+            # reaches 1 - top_p (reference TopPLogitsWarper semantics: "keep
+            # tokens in the 1 - top_p quantile")
+            sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep_sorted = cum - probs < (1.0 - top_p)  # always keeps the top token
+            kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1)
+            logits = jnp.where(logits < kth[:, None], -1e9, logits)
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, logits)
+        elif top_k > 0:
             kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
             logits = jnp.where(logits < kth, -1e9, logits)
             key, sub = jax.random.split(key)
             nxt = jax.random.categorical(sub, logits)
         else:
             nxt = jnp.argmax(logits, axis=-1)
-        nxt = jnp.where(done, model.pad_id, nxt)
+        nxt = jnp.where(done, model.pad_id, nxt).astype(jnp.int32)
         tokens = tokens.at[:, pos].set(nxt)
         done = done | (nxt == eot_id)
         return (tokens, done, key), None
@@ -244,3 +298,83 @@ def generate(
         step, (tokens0, jnp.zeros((b,), bool), rng), jnp.arange(1, max_len)
     )
     return tokens
+
+
+def beam_search(
+    model: CoCa,
+    params,
+    image: jnp.ndarray,
+    sot_id: int,
+    eot_id: int,
+    max_len: int = 77,
+    num_beams: int = 6,
+    num_beam_groups: int = 1,
+    min_len: int = 1,
+    repetition_penalty: float = 1.0,
+):
+    """Fixed-shape beam search (reference `_generate_beamsearch`,
+    `coca_model.py:289-343`). Groups partition the beams into independent
+    sub-searches (the reference separates groups only through their init
+    scores); the best sequence across all groups is returned.
+
+    TPU-first design: the beam frontier lives in a static [B, K, L] buffer
+    advanced by `lax.scan`; finished beams survive in the pool by being
+    forced to extend with pad at score 0, so selection is one top-k over
+    [B, K*V] per group per position — no host-side beam bookkeeping.
+
+    Returns [B, max_len] int32 tokens of the best beam.
+    """
+    assert num_beams % num_beam_groups == 0, "num_beams must divide into groups"
+    b = image.shape[0]
+    k = num_beams
+    g = num_beam_groups
+    sub = k // g
+    pad_id = model.pad_id
+
+    tokens0 = jnp.full((b, k, max_len), pad_id, jnp.int32).at[:, :, 0].set(sot_id)
+    # first beam of each group scores 0, the rest -1e9 (reference
+    # `coca_model.py:336-338`) so group beams diverge from step one
+    scores0 = jnp.where(jnp.arange(k) % sub == 0, 0.0, -1e9)
+    scores0 = jnp.broadcast_to(scores0, (b, k)).astype(jnp.float32)
+    image_rep = jnp.repeat(image, k, axis=0)
+
+    def logits_fn(tokens):
+        out = model.apply(
+            {"params": params}, image_rep, tokens.reshape(b * k, max_len)
+        )
+        return out["logits"]
+
+    def step(carry, pos):
+        tokens, scores, done = carry
+        logits = logits_fn(tokens)[:, pos - 1].astype(jnp.float32)  # [B*K, V]
+        v = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        logp = _apply_processors(
+            logp, tokens.reshape(b * k, max_len), pos, eot_id, pad_id,
+            min_len, repetition_penalty,
+        )
+        logp = logp.reshape(b, k, v)
+        # finished beams may only extend with pad, at no cost — they stay in
+        # the pool and compete on their frozen score
+        pad_only = jnp.where(jnp.arange(v)[None, None, :] == pad_id, 0.0, -jnp.inf)
+        logp = jnp.where(done[..., None], pad_only, logp)
+        cand = scores[..., None] + logp  # [B, K, V]
+        # independent top-sub within each group
+        cand = cand.reshape(b, g, sub * v)
+        top_scores, top_idx = jax.lax.top_k(cand, sub)  # [B, G, sub]
+        beam_in_group = top_idx // v  # [B, G, sub]
+        token_idx = (top_idx % v).astype(jnp.int32)
+        src_beam = beam_in_group + (jnp.arange(g) * sub)[None, :, None]
+        src_beam = src_beam.reshape(b, k)
+        token_idx = token_idx.reshape(b, k)
+        new_scores = top_scores.reshape(b, k)
+        bi = jnp.arange(b)[:, None]
+        tokens = tokens[bi, src_beam]  # reorder frontiers
+        tokens = tokens.at[:, :, pos].set(token_idx)
+        done = done[bi, src_beam] | (token_idx == eot_id)
+        return (tokens, new_scores, done), None
+
+    carry0 = (tokens0, scores0, jnp.zeros((b, k), bool))
+    (tokens, scores, _), _ = jax.lax.scan(step, carry0, jnp.arange(1, max_len))
+    best = jnp.argmax(scores, axis=-1)
+    return tokens[jnp.arange(b), best]
