@@ -91,6 +91,9 @@ def parse_args(argv=None):
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 10-14 here")
     p.add_argument("--save-frequency", type=int, default=1)
+    p.add_argument("--keep-checkpoints", type=int, default=None,
+                   help="retain only the newest N checkpoints (reference "
+                        "--delete-previous-checkpoint keeps 1)")
     p.add_argument("--zeroshot-frequency", type=int, default=1)
     p.add_argument("--export-torch", action="store_true",
                    help="also export each checkpoint in the PyTorch layout")
@@ -363,7 +366,8 @@ def main(argv=None):
         completed = epoch + 1
         if completed % args.save_frequency == 0 or completed == args.epochs:
             target = ckpt.save_checkpoint(
-                ckpt_dir, state, teacher_params, completed, alpha=args.alpha
+                ckpt_dir, state, teacher_params, completed, alpha=args.alpha,
+                keep=args.keep_checkpoints,
             )
             if args.export_torch:
                 ckpt.export_torch(
