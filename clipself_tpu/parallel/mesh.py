@@ -73,13 +73,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+_DATA_LIKE_AXES = ("data", "fsdp")  # batch-sharded; 'model' replicates the batch
+
+
 def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
-    """Shard the leading (batch) dim. By default the batch spans EVERY mesh
-    axis — on a ('data', 'fsdp') mesh the fsdp axis is still data-parallel
-    (ZeRO shards state, not the batch semantics), so the global batch divides
-    over all devices."""
+    """Shard the leading (batch) dim. By default the batch spans every
+    data-like mesh axis — on a ('data', 'fsdp') mesh the fsdp axis is still
+    data-parallel (ZeRO shards state, not the batch semantics) — while a
+    tensor-parallel 'model' axis sees the batch replicated."""
     if axis is None:
-        axis = tuple(mesh.axis_names)
+        axis = tuple(a for a in mesh.axis_names if a in _DATA_LIKE_AXES)
     return NamedSharding(mesh, P(axis))
 
 
@@ -130,3 +133,97 @@ def shard_tree(mesh: Mesh, tree, axis: str = "fsdp", min_size: int = 2**15):
     """Device-put a pytree with `fsdp_shardings` placement."""
     sh = fsdp_shardings(mesh, tree, axis=axis, min_size=min_size)
     return jax.tree.map(jax.device_put, tree, sh)
+
+
+# ---- tensor parallelism ---------------------------------------------------
+
+_TP_RULES = (
+    # Megatron layout for transformer blocks: column-parallel into the block,
+    # row-parallel out of it; XLA's SPMD propagation turns the row-parallel
+    # contraction's partial sums into the single per-block all-reduce.
+    (r"attn.*(q_proj|k_proj|v_proj).*kernel", (None, "T")),
+    (r"attn.*(q_proj|k_proj|v_proj).*bias", ("T",)),
+    (r"attn.*(q_bias|v_bias)", ("T",)),
+    (r"attn.*inner_attn_ln.*(scale|bias)", ("T",)),
+    (r"attn.*proj.*kernel", ("T", None)),
+    (r"mlp.*(w1|w2|fc1|c_fc).*kernel", (None, "T")),
+    (r"mlp.*(w1|w2|fc1|c_fc).*bias", ("T",)),
+    (r"mlp.*ffn_ln.*(scale|bias)", ("T",)),
+    (r"mlp.*(w3|fc2|c_proj).*kernel", ("T", None)),
+)
+
+
+def _tp_spec(key_str: str, shape, axis: str, axis_size: int) -> P:
+    import re
+
+    if "blocks_" not in key_str and "resblocks_" not in key_str:
+        return P()
+    for pat, proto in _TP_RULES:
+        if re.search(pat, key_str):
+            if len(proto) != len(shape):
+                return P()
+            spec = tuple(axis if p == "T" else None for p in proto)
+            # every sharded dim must divide evenly; else replicate the leaf
+            for s, d in zip(spec, shape):
+                if s is not None and d % axis_size != 0:
+                    return P()
+            return P(*spec)
+    return P()
+
+
+def tp_shardings(mesh: Mesh, tree, axis: str = "model"):
+    """Megatron-style tensor-parallel shardings for transformer-block params
+    (and their optimizer-state mirrors — matching is by path suffix, so the
+    same call works on a TrainState).
+
+    The reference has no tensor parallelism (SURVEY.md §2.7: DP only); this is
+    the TPU-native `model` axis for towers too large to replicate. Attention
+    q/k/v and MLP up-projections are column-parallel, attention out-proj and
+    MLP down-projection row-parallel; head count and MLP hidden width must
+    divide the axis size for a leaf to shard, otherwise it replicates.
+    """
+    if axis not in mesh.shape or mesh.shape[axis] == 1:
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+    n = mesh.shape[axis]
+    from jax.tree_util import keystr, tree_map_with_path
+
+    return tree_map_with_path(
+        lambda path, x: NamedSharding(
+            mesh, _tp_spec(keystr(path), getattr(x, "shape", ()), axis, n)
+        ),
+        tree,
+    )
+
+
+def hybrid_shardings(
+    mesh: Mesh,
+    tree,
+    tp_axis: str = "model",
+    fsdp_axis: str = "fsdp",
+    min_size: int = 2**15,
+):
+    """Compose TP and FSDP: a leaf takes its Megatron TP spec when one
+    applies, with FSDP sharding layered onto its remaining (replicated) dims;
+    pure-FSDP otherwise. Either axis may be absent/size-1."""
+    tp = tp_shardings(mesh, tree, axis=tp_axis)
+    fs = fsdp_shardings(mesh, tree, axis=fsdp_axis, min_size=min_size)
+    has_fsdp = fsdp_axis in mesh.shape and mesh.shape[fsdp_axis] > 1
+
+    def merge(tps: NamedSharding, fss: NamedSharding, x):
+        if all(p is None for p in tps.spec) or tps.spec == P():
+            return fss
+        if not has_fsdp:
+            return tps
+        # layer fsdp onto the dims TP left unsharded
+        n = mesh.shape[fsdp_axis]
+        shape = getattr(x, "shape", ())
+        spec = list(tps.spec) + [None] * (len(shape) - len(tps.spec))
+        best, best_d = -1, 0
+        for i, d in enumerate(shape):
+            if spec[i] is None and d % n == 0 and d > best_d:
+                best, best_d = i, d
+        if best >= 0 and int(np.prod(shape)) >= min_size:
+            spec[best] = fsdp_axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(merge, tp, fs, tree)

@@ -103,6 +103,9 @@ def parse_args(argv=None):
     p.add_argument("--fsdp-size", type=int, default=1,
                    help="shard params/optimizer state over this many devices "
                         "(ZeRO-3 over an 'fsdp' mesh axis; 1 = pure data parallel)")
+    p.add_argument("--tp-size", type=int, default=1,
+                   help="Megatron tensor parallelism over a 'model' mesh axis "
+                        "(head count must divide; 1 = off)")
     return p.parse_args(argv)
 
 
@@ -204,21 +207,25 @@ def main(argv=None):
     cfg = get_model_config(args.model)
     args.input_size = cfg.vision.image_size
     args.downsample_factor = cfg.vision.patch_size
-    if args.fsdp_size > 1:
+    if args.fsdp_size > 1 or args.tp_size > 1:
         n_total = args.n_devices or len(jax.devices())
-        assert n_total % args.fsdp_size == 0, (
-            f"--fsdp-size {args.fsdp_size} must divide device count {n_total}"
+        shard_dev = args.fsdp_size * args.tp_size
+        assert n_total % shard_dev == 0, (
+            f"--fsdp-size {args.fsdp_size} x --tp-size {args.tp_size} must "
+            f"divide device count {n_total}"
         )
-        mesh = create_mesh(
-            args.n_devices,
-            axis_names=("data", "fsdp"),
-            shape=(n_total // args.fsdp_size, args.fsdp_size),
-        )
+        axes, shape = ["data"], [n_total // shard_dev]
+        if args.fsdp_size > 1:
+            axes.append("fsdp"); shape.append(args.fsdp_size)
+        if args.tp_size > 1:
+            axes.append("model"); shape.append(args.tp_size)
+        mesh = create_mesh(args.n_devices, axis_names=tuple(axes), shape=tuple(shape))
     else:
         mesh = create_mesh(args.n_devices)
     n_dev = mesh.devices.size
-    assert args.batch_size % n_dev == 0, (
-        f"global batch {args.batch_size} must divide over {n_dev} devices"
+    n_batch_shards = n_dev // max(args.tp_size, 1)  # model axis replicates the batch
+    assert args.batch_size % n_batch_shards == 0, (
+        f"global batch {args.batch_size} must divide over {n_batch_shards} batch shards"
     )
     log.info(f"mesh: {n_dev} devices; global batch {args.batch_size}")
 
@@ -283,14 +290,17 @@ def main(argv=None):
             log.info("--resume auto: no checkpoint yet, starting fresh")
 
     state_sh = teacher_sh = None
-    if args.fsdp_size > 1:
-        from clipself_tpu.parallel.mesh import fsdp_shardings
+    if args.fsdp_size > 1 or args.tp_size > 1:
+        from clipself_tpu.parallel.mesh import hybrid_shardings
 
-        state_sh = fsdp_shardings(mesh, state)
-        teacher_sh = fsdp_shardings(mesh, teacher_params)
+        state_sh = hybrid_shardings(mesh, state)
+        teacher_sh = hybrid_shardings(mesh, teacher_params)
         state = jax.tree.map(jax.device_put, state, state_sh)
         teacher_params = jax.tree.map(jax.device_put, teacher_params, teacher_sh)
-        log.info(f"fsdp: params/opt state sharded over {args.fsdp_size} devices")
+        log.info(
+            f"sharded state: fsdp={args.fsdp_size} tp={args.tp_size} "
+            f"over mesh {dict(mesh.shape)}"
+        )
     step_fn = make_train_step(
         model, tx, loss_fn, mesh=mesh,
         state_sharding=state_sh, teacher_sharding=teacher_sh,

@@ -76,9 +76,12 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
+    from clipself_tpu.parallel.mesh import batch_sharding
+
     repl = NamedSharding(mesh, P())
-    # the batch spans every mesh axis (an fsdp axis is still data-parallel)
-    data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    # the batch spans every data-like mesh axis (fsdp is still data-parallel;
+    # a tensor-parallel 'model' axis replicates the batch)
+    data = batch_sharding(mesh)
     st = repl if state_sharding is None else state_sharding
     tch = repl if teacher_sharding is None else teacher_sharding
     return jax.jit(
@@ -93,8 +96,10 @@ def make_eval_fns(model, mesh: Optional[Mesh] = None):
     """Jitted inference entry points used by the zero-shot evaluator."""
     kw = {}
     if mesh is not None:
+        from clipself_tpu.parallel.mesh import batch_sharding
+
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        data = batch_sharding(mesh)
         kw = dict(in_shardings=(repl, data), out_shardings=data)
 
     @functools.partial(jax.jit, **kw)

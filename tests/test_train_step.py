@@ -191,3 +191,83 @@ def test_fsdp_step_matches_data_parallel(setup):
     a = dp_params["visual"]["blocks_1"]["mlp"]["w3"]["kernel"]
     b = fs_params["visual"]["blocks_1"]["mlp"]["w3"]["kernel"]
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_tensor_parallel_step_matches_data_parallel(setup):
+    """Megatron-style TP over a ('data','model') mesh is a layout change
+    only: the sharded-weights trajectory must reproduce pure DP."""
+    from clipself_tpu.parallel.mesh import tp_shardings
+
+    model, params, teacher = setup
+    sched = make_schedule("cosine", 1e-3, warmup=2, total_steps=20)
+
+    def run(mesh, use_tp):
+        tx = build_optimizer(
+            params, sched, wd=0.1, unlocked_groups=CFG.vision.layers,
+            num_layers=CFG.vision.layers,
+        )
+        state = TrainState.create(jax.tree.map(jnp.array, params), tx)
+        tch = jax.tree.map(jnp.array, teacher)
+        state_sh = teacher_sh = None
+        if use_tp:
+            state_sh = tp_shardings(mesh, state)
+            teacher_sh = tp_shardings(mesh, tch)
+            specs = {s.spec for s in jax.tree.leaves(state_sh)}
+            assert any(s != jax.sharding.PartitionSpec() for s in specs)
+            state = jax.tree.map(jax.device_put, state, state_sh)
+            tch = jax.tree.map(jax.device_put, tch, teacher_sh)
+        step = make_train_step(
+            model, tx, clipself_loss, mesh=mesh,
+            state_sharding=state_sh, teacher_sharding=teacher_sh,
+        )
+        batch = shard_batch(mesh, _batch(np.random.default_rng(0)))
+        rng = jax.random.PRNGKey(0)
+        out = []
+        for _ in range(2):
+            state, metrics = step(state, tch, batch, rng)
+            out.append(float(metrics["loss"]))
+        return out, jax.tree.map(np.asarray, state.params)
+
+    dp_losses, dp_params = run(create_mesh(), use_tp=False)
+    tp_mesh = create_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    tp_losses, tp_params = run(tp_mesh, use_tp=True)
+
+    np.testing.assert_allclose(tp_losses, dp_losses, rtol=1e-5)
+    a = dp_params["visual"]["blocks_1"]["mlp"]["w3"]["kernel"]
+    b = tp_params["visual"]["blocks_1"]["mlp"]["w3"]["kernel"]
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_hybrid_dp_fsdp_tp_step_matches_data_parallel(setup):
+    """All three axes at once — ('data','fsdp','model') = (2,2,2) — must
+    still be a pure layout change."""
+    from clipself_tpu.parallel.mesh import hybrid_shardings
+
+    model, params, teacher = setup
+    sched = make_schedule("cosine", 1e-3, warmup=2, total_steps=20)
+
+    def run(mesh, shard):
+        tx = build_optimizer(
+            params, sched, wd=0.1, unlocked_groups=CFG.vision.layers,
+            num_layers=CFG.vision.layers,
+        )
+        state = TrainState.create(jax.tree.map(jnp.array, params), tx)
+        tch = jax.tree.map(jnp.array, teacher)
+        state_sh = teacher_sh = None
+        if shard:
+            state_sh = hybrid_shardings(mesh, state, min_size=128)
+            teacher_sh = hybrid_shardings(mesh, tch, min_size=128)
+            state = jax.tree.map(jax.device_put, state, state_sh)
+            tch = jax.tree.map(jax.device_put, tch, teacher_sh)
+        step = make_train_step(
+            model, tx, clipself_loss, mesh=mesh,
+            state_sharding=state_sh, teacher_sharding=teacher_sh,
+        )
+        batch = shard_batch(mesh, _batch(np.random.default_rng(0)))
+        state, metrics = step(state, tch, batch, jax.random.PRNGKey(0))
+        return float(metrics["loss"])
+
+    dp = run(create_mesh(), shard=False)
+    hy_mesh = create_mesh(8, axis_names=("data", "fsdp", "model"), shape=(2, 2, 2))
+    hy = run(hy_mesh, shard=True)
+    np.testing.assert_allclose(hy, dp, rtol=1e-5)
