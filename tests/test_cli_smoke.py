@@ -50,3 +50,84 @@ def test_synthetic_resume(tmp_path):
     main(common + ["--epochs", "1", "--name", "r1"])
     ckpt_dir = os.path.join(logs, "r1", "checkpoints")
     main(common + ["--epochs", "2", "--name", "r2", "--resume", ckpt_dir])
+
+
+def test_coco_micro_subset_end_to_end(tmp_path):
+    """BASELINE.json config #1: CLIPSelf image-patch distill on a COCO-format
+    micro-subset, CPU-runnable, through the REAL file-based pipeline — train
+    JSON + images, panoptic val JSON + segment PNGs, text-embedding classifier,
+    eval-before-train and post-epoch zero-shot eval, checkpoint + results."""
+    import json as _json
+
+    from PIL import Image
+
+    root = tmp_path
+    img_dir = root / "images"
+    seg_dir = root / "segm"
+    img_dir.mkdir()
+    seg_dir.mkdir()
+    rng = np.random.default_rng(0)
+    images, annotations, pan_annotations = [], [], []
+    for i in range(8):
+        w, h = 80, 64
+        Image.fromarray(
+            rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        ).save(img_dir / f"img{i}.jpg")
+        images.append({"id": i, "file_name": f"img{i}.jpg", "width": w, "height": h})
+        annotations.append(
+            {"id": i, "image_id": i, "category_id": 1, "bbox": [5, 5, 30, 25], "area": 750}
+        )
+        seg = np.zeros((h, w, 3), np.uint8)
+        seg[: h // 2, :, 0] = 1
+        seg[h // 2 :, :, 0] = 2
+        Image.fromarray(seg).save(seg_dir / f"img{i}.png")
+        pan_annotations.append(
+            {
+                "image_id": i,
+                "file_name": f"img{i}.png",
+                "segments_info": [
+                    {"id": 1, "category_id": 1, "bbox": [0, 0, w, h // 2], "area": w * h // 2},
+                    {"id": 2, "category_id": 2, "bbox": [0, h // 2, w, h // 2], "area": w * h // 2},
+                ],
+            }
+        )
+    cats = [
+        {"id": 1, "name": "thing_a", "isthing": 1},
+        {"id": 2, "name": "stuff_b", "isthing": 0},
+    ]
+    with open(root / "instances.json", "w") as f:
+        _json.dump({"images": images, "annotations": annotations, "categories": cats}, f)
+    with open(root / "panoptic.json", "w") as f:
+        _json.dump({"images": images, "annotations": pan_annotations, "categories": cats}, f)
+    emb = rng.normal(size=(2, 64)).astype(np.float32)  # tiny model embed_dim
+    np.save(root / "emb.npy", emb)
+
+    logs = str(root / "logs")
+    main(
+        [
+            "--model", "EVA02-CLIP-Tiny-Test",
+            "--dataset-type", "grid_distill",
+            "--train-data", str(root / "instances.json"),
+            "--train-image-root", str(img_dir),
+            "--val-data", str(root / "panoptic.json"),
+            "--val-image-root", str(img_dir),
+            "--val-segm-root", str(seg_dir),
+            "--embed-path", str(root / "emb.npy"),
+            "--det-image-size", "64",
+            "--batch-size", "8", "--max-boxes", "4",
+            "--epochs", "1", "--warmup", "1", "--lr", "1e-4",
+            "--zeroshot-frequency", "1", "--precision", "fp32",
+            "--lock-image-unlocked-groups", "2", "--alpha", "0.7",
+            "--workers", "0", "--name", "micro", "--logs", logs,
+        ]
+    )
+    out = os.path.join(logs, "micro")
+    assert os.path.exists(os.path.join(out, "checkpoints"))
+    results = os.path.join(out, "results.jsonl")
+    assert os.path.exists(results)
+    lines = [json.loads(l) for l in open(results)]
+    # eval-before-train + post-epoch eval (reference main.py:263-269)
+    assert len(lines) >= 2
+    keys = set(lines[-1])
+    assert any("rois" in k for k in keys)
+    assert any("maskpool" in k for k in keys)
