@@ -74,3 +74,37 @@ def get_tokenizer(name_or_cfg: Any = None):
     import functools
 
     return functools.partial(_tok.tokenize, context_length=cfg.text.context_length)
+
+
+def create_model_and_transforms(
+    name_or_cfg,
+    dtype=jnp.bfloat16,
+    pretrained: Optional[str] = None,
+    det_image_size: int = 1024,
+    dataset_type: str = "grid_distill",
+    **kwargs,
+):
+    """Model plus the (det, crop) preprocessing pair — the reference's main
+    entry point (`src/open_clip/factory.py:267-350`): for the distill /
+    region_clip dataset types both the train and val preprocess are
+    ``[det_transform(det_image_size), crop_transform(visual.image_size)]``
+    (ResizeLongest+pad-to-square, and ResizeLongest-max center pad).
+
+    Returns (model, params, preprocess_train, preprocess_val); each
+    preprocess is a list of two callables taking a PIL image to a CHW-free
+    [H, W, 3] float32 array (TPU layout is channels-last by design).
+    """
+    import functools
+
+    from clipself_tpu.data.transforms import crop_transform, det_transform
+
+    model, params = create_model(
+        name_or_cfg, dtype=dtype, pretrained=pretrained, **kwargs
+    )
+    pre_det = functools.partial(det_transform, det_size=det_image_size)
+    pre_crop = functools.partial(crop_transform, crop_size=model.cfg.vision.image_size)
+    pair = [pre_det, pre_crop]
+    if dataset_type in ("grid_distill", "proposals_distill", "region_clip",
+                        "clipself", "clipself_proposals"):
+        return model, params, pair, pair
+    return model, params, pre_crop, pair

@@ -263,3 +263,30 @@ def test_coca_top_p_and_processors(coca_setup):
     plain = np.asarray(generate(model, params, img, sot_id=1, eot_id=2, max_len=8))
     # token ids are valid
     assert (out3 >= 0).all() and (out3 < cfg.text.vocab_size).all()
+
+
+def test_create_model_and_transforms():
+    """Reference main entry point parity (`factory.py:267-350`): distill
+    types get the [det, crop] transform pair for both train and val."""
+    from PIL import Image
+
+    from clipself_tpu.models.factory import create_model_and_transforms
+
+    model, params, pt, pv = create_model_and_transforms(
+        "EVA02-CLIP-Tiny-Test", dtype=jnp.float32, det_image_size=64
+    )
+    assert isinstance(pt, list) and len(pt) == 2 and pv is pt
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (48, 80, 3), np.uint8)
+    )
+    det = pt[0](img)
+    crop = pt[1](img)
+    assert det.shape == (64, 64, 3)  # ResizeLongest + pad to square det size
+    assert crop.shape[-1] == 3 and max(crop.shape[:2]) == 32  # tower input size
+
+    # non-distill type: train is the plain crop transform
+    _, _, pt2, pv2 = create_model_and_transforms(
+        "EVA02-CLIP-Tiny-Test", dtype=jnp.float32, det_image_size=64,
+        dataset_type="coco_caption",
+    )
+    assert callable(pt2) and isinstance(pv2, list)
