@@ -266,27 +266,29 @@ def generate(
 
     def step(carry, pos):
         tokens, done, key = carry
-        logits = logits_fn(tokens)[:, pos - 1].astype(jnp.float32) / max(temperature, 1e-6)
+        # processors and the top-p/top-k warpers act on RAW logits; the
+        # temperature only rescales the final sampling softmax (reference
+        # `coca_model.py:266-269`: probs = softmax(filtered_logits / T))
+        logits = logits_fn(tokens)[:, pos - 1].astype(jnp.float32)
         logits = _apply_processors(
             logits, tokens, pos, eot_id, model.pad_id, min_len, repetition_penalty
         )
         if top_p > 0.0:
-            # keep the smallest prefix of descending-prob tokens whose mass
-            # reaches 1 - top_p (reference TopPLogitsWarper semantics: "keep
-            # tokens in the 1 - top_p quantile")
+            # HF TopPLogitsWarper: keep the smallest descending-prob prefix
+            # holding at least top_p probability mass (always >= 1 token)
             sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
             probs = jax.nn.softmax(sorted_logits, axis=-1)
             cum = jnp.cumsum(probs, axis=-1)
-            keep_sorted = cum - probs < (1.0 - top_p)  # always keeps the top token
+            keep_sorted = cum - probs < top_p
             kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1)
             logits = jnp.where(logits < kth[:, None], -1e9, logits)
             key, sub = jax.random.split(key)
-            nxt = jax.random.categorical(sub, logits)
+            nxt = jax.random.categorical(sub, logits / max(temperature, 1e-6))
         elif top_k > 0:
             kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
             logits = jnp.where(logits < kth, -1e9, logits)
             key, sub = jax.random.split(key)
-            nxt = jax.random.categorical(sub, logits)
+            nxt = jax.random.categorical(sub, logits / max(temperature, 1e-6))
         else:
             nxt = jnp.argmax(logits, axis=-1)
         nxt = jnp.where(done, model.pad_id, nxt).astype(jnp.int32)

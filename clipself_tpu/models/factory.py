@@ -26,6 +26,7 @@ def create_model(
     pretrained: Optional[str] = None,
     seed: int = 0,
     init: bool = True,
+    hf_pretrained: bool = False,
 ):
     """Build a CLIP module and (optionally) its parameters.
 
@@ -35,6 +36,10 @@ def create_model(
       pretrained: path to a PyTorch `.pt` checkpoint (EVA format) or an Orbax
         checkpoint directory; positional embeddings are resized on load.
       init: if False, return (module, None) without initializing params.
+      hf_pretrained: for configs with an HF text tower, fetch the trunk's hub
+        weights and graft them in (the reference loads them by default,
+        `hf_model.py` pretrained_hf=True; opt-in here because it needs
+        network/cache — a warning is logged when skipped).
 
     Returns:
       (module, params) — params is a FrozenDict pytree or None.
@@ -56,6 +61,19 @@ def create_model(
         from clipself_tpu.models.torch_io import load_pretrained
 
         params = load_pretrained(pretrained, params, cfg)
+    if cfg.text.hf_model_name:
+        if hf_pretrained:
+            from clipself_tpu.models.hf_text import load_hf_pretrained
+
+            params = load_hf_pretrained(params, cfg.text.hf_model_name)
+        else:
+            import logging
+
+            logging.getLogger("clipself_tpu").warning(
+                "HF text tower %r is randomly initialized; pass "
+                "hf_pretrained=True to load its hub weights",
+                cfg.text.hf_model_name,
+            )
     return model, params
 
 

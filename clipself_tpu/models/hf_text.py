@@ -27,11 +27,15 @@ def _hf_flax_module(model_name_or_config, hf_config_kwargs: Optional[dict] = Non
             "transformers with Flax support is required for HF text towers"
         ) from e
     if isinstance(model_name_or_config, str):
-        try:
-            # bare model *type* ("roberta", "bert") → offline config
+        from transformers import CONFIG_MAPPING
+
+        # deterministic routing: an exact model-TYPE key ("roberta", "bert",
+        # "gpt2") builds an offline default config; anything else is treated
+        # as a hub checkpoint id ("roberta-base", "google/mt5-base"). Use the
+        # full checkpoint id when the hub config matters.
+        if model_name_or_config in CONFIG_MAPPING:
             cfg = AutoConfig.for_model(model_name_or_config, **(hf_config_kwargs or {}))
-        except (KeyError, ValueError):
-            # checkpoint name ("roberta-base", "google/mt5-base") → hub config
+        else:
             cfg = AutoConfig.from_pretrained(model_name_or_config, **(hf_config_kwargs or {}))
     else:
         cfg = model_name_or_config
@@ -102,8 +106,49 @@ class HFTextTower(nn.Module):
 
     def __call__(self, input_ids: jnp.ndarray, attention_mask: Optional[jnp.ndarray] = None):
         if attention_mask is None:
-            attention_mask = (input_ids != 0).astype(jnp.int32)
+            # mask against the trunk's own pad id (reference `hf_model.py:138`
+            # uses config.pad_token_id); RoBERTa-family pads with 1, not 0
+            pad_id = getattr(self.hf_config, "pad_token_id", None)
+            attention_mask = (input_ids != (0 if pad_id is None else pad_id)).astype(jnp.int32)
         out = self.trunk(input_ids=input_ids, attention_mask=attention_mask)
         hidden = out.last_hidden_state
         pooled = self.pooler(hidden, attention_mask)
         return self.projection(pooled)
+
+
+def load_hf_trunk_params(clip_params, hf_trunk_params):
+    """Graft pretrained HF trunk weights into a CLIP param tree.
+
+    The tower's `trunk` submodule has exactly the FlaxAutoModel param
+    structure, so the graft is a subtree swap (with a structure check).
+    Returns a new params tree; pooler/projection params are untouched.
+    """
+    import jax
+
+    text = dict(clip_params["text"])
+    ours = jax.tree_util.tree_structure(text["trunk"])
+    theirs = jax.tree_util.tree_structure(hf_trunk_params)
+    if ours != theirs:
+        raise ValueError(
+            f"HF trunk param structure mismatch: model has {ours}, "
+            f"checkpoint has {theirs}"
+        )
+    import jax.numpy as jnp
+
+    text["trunk"] = jax.tree.map(
+        lambda ref, new: jnp.asarray(new, ref.dtype), text["trunk"], hf_trunk_params
+    )
+    out = dict(clip_params)
+    out["text"] = text
+    return out
+
+
+def load_hf_pretrained(clip_params, model_name: str):
+    """Fetch `model_name`'s weights from the HuggingFace hub (or local cache)
+    and graft them into the text trunk (reference `hf_model.py` loads hub
+    weights by default via `pretrained_hf=True`). Requires network or a
+    populated HF cache."""
+    from transformers import FlaxAutoModel
+
+    wrapper = FlaxAutoModel.from_pretrained(model_name)
+    return load_hf_trunk_params(clip_params, wrapper.params)

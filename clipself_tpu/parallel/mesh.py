@@ -92,14 +92,15 @@ def shard_batch(mesh: Mesh, batch, axis=None):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
-def _fsdp_spec(shape, axis_size: int, axis: str, min_size: int) -> P:
+def _fsdp_spec(shape, axis_size: int, axis: str, min_size: int, taken=()) -> P:
     """Shard the largest dim divisible by `axis_size`; replicate small or
-    indivisible leaves (the standard JAX FSDP layout rule)."""
+    indivisible leaves (the standard JAX FSDP layout rule). `taken` marks dim
+    indices already claimed by another axis (hybrid TP+FSDP layouts)."""
     if len(shape) == 0 or int(np.prod(shape)) < min_size:
         return P()
     best, best_d = -1, 0
     for i, d in enumerate(shape):
-        if d % axis_size == 0 and d > best_d:
+        if i not in taken and d % axis_size == 0 and d > best_d:
             best, best_d = i, d
     if best < 0:
         return P()
@@ -141,7 +142,8 @@ _TP_RULES = (
     # Megatron layout for transformer blocks: column-parallel into the block,
     # row-parallel out of it; XLA's SPMD propagation turns the row-parallel
     # contraction's partial sums into the single per-block all-reduce.
-    (r"attn.*(q_proj|k_proj|v_proj).*kernel", (None, "T")),
+    # EVA blocks (attn./mlp. submodules):
+    (r"attn.*(q_proj|k_proj|v_proj|qkv).*kernel", (None, "T")),
     (r"attn.*(q_proj|k_proj|v_proj).*bias", ("T",)),
     (r"attn.*(q_bias|v_bias)", ("T",)),
     (r"attn.*inner_attn_ln.*(scale|bias)", ("T",)),
@@ -150,6 +152,15 @@ _TP_RULES = (
     (r"mlp.*(w1|w2|fc1|c_fc).*bias", ("T",)),
     (r"mlp.*ffn_ln.*(scale|bias)", ("T",)),
     (r"mlp.*(w3|fc2|c_proj).*kernel", ("T", None)),
+    # OpenCLIP-family resblocks store these flat on the block (the packed
+    # in_proj [D, 3D] shards its output dim; XLA reshards across the q/k/v
+    # split boundaries as needed):
+    (r"in_proj.*kernel", (None, "T")),
+    (r"in_proj.*bias", ("T",)),
+    (r"out_proj.*kernel", ("T", None)),
+    (r"c_fc.*kernel", (None, "T")),
+    (r"c_fc.*bias", ("T",)),
+    (r"c_proj.*kernel", ("T", None)),
 )
 
 
@@ -187,12 +198,21 @@ def tp_shardings(mesh: Mesh, tree, axis: str = "model"):
     n = mesh.shape[axis]
     from jax.tree_util import keystr, tree_map_with_path
 
-    return tree_map_with_path(
+    out = tree_map_with_path(
         lambda path, x: NamedSharding(
             mesh, _tp_spec(keystr(path), getattr(x, "shape", ()), axis, n)
         ),
         tree,
     )
+    if all(s.spec == P() for s in jax.tree.leaves(out)):
+        import logging
+
+        logging.getLogger("clipself_tpu").warning(
+            "tp_shardings: no parameter matched the tensor-parallel rules — "
+            "the '%s' axis will replicate everything (check block naming and "
+            "divisibility by %d)", axis, n,
+        )
+    return out
 
 
 def hybrid_shardings(
@@ -214,16 +234,14 @@ def hybrid_shardings(
             return fss
         if not has_fsdp:
             return tps
-        # layer fsdp onto the dims TP left unsharded
+        # layer fsdp onto the dims TP left unsharded (same rule as pure FSDP)
         n = mesh.shape[fsdp_axis]
         shape = getattr(x, "shape", ())
         spec = list(tps.spec) + [None] * (len(shape) - len(tps.spec))
-        best, best_d = -1, 0
-        for i, d in enumerate(shape):
-            if spec[i] is None and d % n == 0 and d > best_d:
-                best, best_d = i, d
-        if best >= 0 and int(np.prod(shape)) >= min_size:
-            spec[best] = fsdp_axis
-        return NamedSharding(mesh, P(*spec))
+        taken = tuple(i for i, s in enumerate(spec) if s is not None)
+        fspec = list(_fsdp_spec(shape, n, fsdp_axis, min_size, taken=taken))
+        fspec += [None] * (len(shape) - len(fspec))
+        merged = [t if t is not None else f for t, f in zip(spec, fspec)]
+        return NamedSharding(mesh, P(*merged))
 
     return jax.tree.map(merge, tp, fs, tree)

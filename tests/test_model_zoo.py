@@ -252,16 +252,24 @@ def test_coca_top_p_and_processors(coca_setup):
     ))
     assert (out2[:, 1:5] != 2).all()
 
-    # repetition penalty discourages the greedy loop: outputs stay valid
+    # repetition penalty: seen tokens' logits are penalized (HF semantics:
+    # positive logits divided, negative multiplied), pad excluded
+    from clipself_tpu.models.coca import _apply_processors
+
+    logits = jnp.asarray([[2.0, -1.0, 0.5, 3.0]])
+    tokens = jnp.asarray([[1, 3, 0, 0]], jnp.int32)  # seen: 1, 3 (0 = pad)
+    out_l = np.asarray(_apply_processors(
+        logits, tokens, jnp.asarray(2), eot_id=99, pad_id=0, min_len=1,
+        repetition_penalty=2.0,
+    ))
+    np.testing.assert_allclose(out_l[0], [2.0, -2.0, 0.5, 1.5])
+
+    # penalized generation still well-formed end to end
     out3 = np.asarray(generate(
         model, params, img, sot_id=1, eot_id=2, max_len=8,
         repetition_penalty=1.5,
     ))
     assert out3.shape == (2, 8)
-    # penalized run must differ from the plain greedy one somewhere unless
-    # greedy never repeats (tiny models repeat almost surely)
-    plain = np.asarray(generate(model, params, img, sot_id=1, eot_id=2, max_len=8))
-    # token ids are valid
     assert (out3 >= 0).all() and (out3 < cfg.text.vocab_size).all()
 
 
@@ -290,3 +298,89 @@ def test_create_model_and_transforms():
         dataset_type="coco_caption",
     )
     assert callable(pt2) and isinstance(pv2, list)
+
+
+def test_coca_top_p_keeps_top_p_mass(coca_setup):
+    """HF TopPLogitsWarper semantics: a tiny top_p collapses the nucleus to
+    the single top token, so sampling is rng-independent (the inverted
+    formulation would keep ~99% of the mass and vary with the rng)."""
+    from clipself_tpu.models.coca import generate
+
+    model, params, img, _, _ = coca_setup
+    outs = [
+        np.asarray(generate(
+            model, params, img, sot_id=1, eot_id=2, max_len=8, top_p=0.01,
+            rng=jax.random.PRNGKey(seed),
+        ))
+        for seed in range(3)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+    greedy = np.asarray(generate(model, params, img, sot_id=1, eot_id=2, max_len=8))
+    np.testing.assert_array_equal(outs[0], greedy)
+
+
+def test_hf_text_tower_pad_token_mask():
+    """The default attention mask must use the trunk's pad_token_id
+    (RoBERTa-family pads with 1): implicit and explicit masks agree."""
+    from clipself_tpu.models.hf_text import HFTextTower
+
+    tower = HFTextTower(
+        "roberta", output_dim=16,
+        hf_config_kwargs=dict(
+            hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=64, vocab_size=100, max_position_embeddings=40,
+        ),
+    )
+    rng = np.random.default_rng(0)
+    ids = np.full((2, 12), 1, np.int32)  # roberta pad_token_id == 1
+    ids[:, 0] = 0  # BOS
+    ids[0, 1:8] = rng.integers(3, 100, 7)
+    ids[1, 1:5] = rng.integers(3, 100, 4)
+    ids = jnp.asarray(ids)
+    params = tower.init(jax.random.PRNGKey(0), ids)["params"]
+    implicit = tower.apply({"params": params}, ids)
+    explicit = tower.apply(
+        {"params": params}, ids, (np.asarray(ids) != 1).astype(np.int32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(implicit), np.asarray(explicit), atol=1e-6
+    )
+    # and the two batch rows must differ (pads masked out, real tokens differ)
+    assert np.abs(np.asarray(implicit)[0] - np.asarray(implicit)[1]).max() > 1e-4
+
+
+def test_hf_trunk_param_graft():
+    """`load_hf_trunk_params` swaps the text trunk subtree for pretrained
+    FlaxAutoModel weights (structure-checked)."""
+    from transformers import AutoConfig, FlaxAutoModel
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.hf_text import load_hf_trunk_params
+
+    hf_kwargs = dict(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, vocab_size=100, max_position_embeddings=80,
+    )
+    cfg = CLIPConfig(
+        embed_dim=16,
+        vision=VisionConfig(image_size=32, patch_size=8, layers=1, width=32, head_width=16),
+        text=TextConfig(hf_model_name="bert", hf_model_config=hf_kwargs),
+        name="hf-graft-test",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    donor = FlaxAutoModel.from_config(AutoConfig.for_model("bert", **hf_kwargs))
+    grafted = load_hf_trunk_params(params, donor.params)
+    a = jax.tree.leaves(grafted["text"]["trunk"])[0]
+    b = jax.tree.leaves(donor.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # non-trunk params untouched
+    va = jax.tree.leaves(grafted["visual"])[0]
+    vb = jax.tree.leaves(params["visual"])[0]
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    # structure mismatch is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_hf_trunk_params(params, {"wrong": jnp.zeros((1,))})
