@@ -355,6 +355,13 @@ class COCOPanopticEvalDataset:
         image_id = self.image_ids[int(idx)]
         info = self.coco.imgs[image_id]
         img = _open_image(os.path.join(self.image_root, info["file_name"]))
+        if img is None:
+            # eval must not silently swap items (it would skew mAcc); fail
+            # loudly instead of the train datasets' resample-on-failure
+            raise RuntimeError(
+                f"unreadable eval image: "
+                f"{os.path.join(self.image_root, info['file_name'])}"
+            )
         segm = np.asarray(Image.open(os.path.join(self.segm_root, info["segm_file"])))
         segm_map = rgb2id(segm)
         img_w, img_h = img.size

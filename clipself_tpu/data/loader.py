@@ -112,8 +112,19 @@ class NativeDistillLoader:
         self.crop_size = crop_size or dataset.crop_size
 
     def _indices(self):
-        epoch = 0
+        if len(self.ds) < self.batch_size:
+            raise ValueError(
+                f"dataset ({len(self.ds)} items) smaller than batch size "
+                f"{self.batch_size} — no full batch can ever be yielded"
+            )
+        # the DATASET's epoch is authoritative (the trainer advances it via
+        # set_epoch on resume and at each epoch, reference data.py:608-618
+        # DataInfo.set_epoch); the loader only self-advances in standalone
+        # use, when nobody else moved it during the chunk. Note the one-batch
+        # prefetch skew: the first batch after a boundary may have been
+        # planned under the previous epoch's rng.
         while True:
+            epoch = int(getattr(self.ds, "epoch", 0))
             order = (
                 np.random.default_rng((self.seed, epoch)).permutation(len(self.ds))
                 if self.shuffle
@@ -122,9 +133,10 @@ class NativeDistillLoader:
             b = self.batch_size
             for start in range(0, len(order) - b + 1, b):
                 yield order[start : start + b]
-            epoch += 1
-            if hasattr(self.ds, "set_epoch"):
-                self.ds.set_epoch(epoch)
+            if int(getattr(self.ds, "epoch", epoch)) == epoch and hasattr(
+                self.ds, "set_epoch"
+            ):
+                self.ds.set_epoch(epoch + 1)
 
     def _submit(self, pool, idxs):
         b = self.batch_size
@@ -137,6 +149,7 @@ class NativeDistillLoader:
             "boxes": np.zeros((b, m, 5), np.float32),
         }
         slow = []
+        submitted = []  # batch row per submitted job, in submission order
         for j, idx in enumerate(idxs):
             plan = self.ds.plan_item(int(idx))
             if plan is None:
@@ -147,12 +160,13 @@ class NativeDistillLoader:
                 plan["path"], buf["images"][j], buf["crops"][j],
                 plan["crop_windows"], self.mean, self.std,
             )
-        return buf, slow, idxs
+            submitted.append(j)
+        return buf, slow, submitted, idxs
 
-    def _finish(self, pool, buf, slow, idxs):
-        errors = pool.wait()
-        if errors:
-            slow = list(range(self.batch_size))  # rebuild all rows via PIL
+    def _finish(self, pool, buf, slow, submitted, idxs):
+        status = pool.wait_status(len(submitted))
+        # per-job flags confine the PIL fallback to the rows that failed
+        slow = list(slow) + [j for j, ok in zip(submitted, status) if not ok]
         for j in slow:
             item = self.ds[int(idxs[j])]
             buf["images"][j] = item["images"]

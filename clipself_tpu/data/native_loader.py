@@ -47,6 +47,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.csl_pool_destroy.argtypes = [ctypes.c_void_p]
     lib.csl_pool_wait.restype = ctypes.c_int
     lib.csl_pool_wait.argtypes = [ctypes.c_void_p]
+    lib.csl_pool_wait_status.restype = ctypes.c_int
+    lib.csl_pool_wait_status.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+    ]
     lib.csl_decode.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.csl_decode.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
@@ -111,8 +117,13 @@ class NativePool:
         std: np.ndarray,
     ):
         """det_out: [S, S, 3] f32; crops_out: [M, s, s, 3] f32;
-        crop_boxes: [M, 4] xyxy in original pixel coords."""
-        m = crops_out.shape[0]
+        crop_boxes: [K, 4] xyxy in original pixel coords, K <= M (rows of
+        crops_out beyond K are left untouched — callers pre-zero them)."""
+        m = int(crop_boxes.shape[0])
+        if m > crops_out.shape[0]:
+            raise ValueError(
+                f"{m} crop boxes but only {crops_out.shape[0]} output rows"
+            )
         self._lib.csl_submit_distill_item(
             self._pool, path.encode(), det_out.shape[0], crops_out.shape[1], m,
             np.ascontiguousarray(crop_boxes, np.float32),
@@ -135,6 +146,13 @@ class NativePool:
     def wait(self) -> int:
         """Block until all submitted jobs finish; returns the error count."""
         return self._lib.csl_pool_wait(self._pool)
+
+    def wait_status(self, num_jobs: int) -> np.ndarray:
+        """Block until all jobs finish; returns a [num_jobs] uint8 array of
+        per-job success flags (1 ok, 0 failed) in submission order."""
+        out = np.zeros(max(num_jobs, 1), np.uint8)
+        n = self._lib.csl_pool_wait_status(self._pool, out, out.shape[0])
+        return out[: min(n, num_jobs)]
 
     def close(self):
         if self._pool:

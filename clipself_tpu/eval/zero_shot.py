@@ -72,9 +72,30 @@ def evaluate_zero_shot(
       embeddings: [num_classes, C] text classifier (will be L2-normalized).
       gather_fn: optional cross-process gather (multihost); identity default.
     """
-    emb = np.asarray(embeddings, np.float32)
+    # copy before normalizing — np.asarray aliases a float32 input and an
+    # in-place divide would mutate the caller's (often dataset-owned) matrix
+    emb = np.array(embeddings, np.float32)
     emb /= np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12
     emb_dev = jnp.asarray(emb)
+
+    if mesh is not None:
+        from clipself_tpu.parallel.mesh import _DATA_LIKE_AXES, batch_sharding
+
+        _bs = batch_sharding(mesh)
+        _shards = 1
+        for a in mesh.axis_names:
+            if a in _DATA_LIKE_AXES:
+                _shards *= mesh.shape[a]
+
+        def to_device(x):
+            x = jnp.asarray(x)
+            # shard the batch over the data axes when it divides (an uneven
+            # tail batch falls back to replicated placement)
+            if x.shape[0] % _shards == 0:
+                return jax.device_put(x, _bs)
+            return x
+    else:
+        to_device = jnp.asarray
 
     @jax.jit
     def batch_features(params, images, boxes4, crops, masks):
@@ -111,14 +132,14 @@ def evaluate_zero_shot(
 
         it = tqdm(dataloader)
     for batch in it:
-        images = jnp.asarray(batch["images"])
+        images = to_device(batch["images"])
         boxes = np.asarray(batch["boxes"])
         logits = batch_features(
             params,
             images,
-            jnp.asarray(boxes[..., :4]),
-            jnp.asarray(batch["crops"]),
-            jnp.asarray(batch["gt_masks"]),
+            to_device(boxes[..., :4]),
+            to_device(batch["crops"]),
+            to_device(batch["gt_masks"]),
         )
         valid = boxes[..., 5].reshape(-1) > 0.5
         if valid.sum() == 0:

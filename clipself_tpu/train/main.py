@@ -198,7 +198,7 @@ def main(argv=None):
 
     from clipself_tpu.core.config import get_model_config
     from clipself_tpu.models.factory import create_model
-    from clipself_tpu.parallel.mesh import create_mesh, shard_batch
+    from clipself_tpu.parallel.mesh import create_mesh
     from clipself_tpu.train import checkpoint as ckpt
     from clipself_tpu.train.methods import clipself_loss, regionclip_loss
     from clipself_tpu.train.optim import build_optimizer, make_schedule
@@ -346,7 +346,10 @@ def main(argv=None):
     # eval before training (reference main.py:263-269)
     run_eval(state.params, start_epoch)
 
-    train_iter = iter(data["train"])
+    from clipself_tpu.data.loader import device_prefetch
+
+    # host->device transfer of batch k+1 overlaps the step on batch k
+    train_iter = device_prefetch(iter(data["train"]), mesh, size=2)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     for epoch in range(start_epoch, args.epochs):
         if "train_ds" in data:
@@ -358,7 +361,7 @@ def main(argv=None):
         for i in range(steps_per_epoch):
             if args.profile_dir and epoch == start_epoch and i == profile_start:
                 jax.profiler.start_trace(args.profile_dir)
-            batch = maybe_multiscale(shard_batch(mesh, next(train_iter)))
+            batch = maybe_multiscale(next(train_iter))
             state, metrics = step_fn(state, teacher_params, batch, rng)
             if args.profile_dir and epoch == start_epoch and i == profile_stop:
                 jax.block_until_ready(metrics["loss"])

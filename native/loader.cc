@@ -184,11 +184,21 @@ void resize_crop(const uint8_t* src, int sw, int sh, float x0, float y0, float c
                  Kernel kernel = Kernel::kBilinear) {
   FilterWeights fx = filter_weights(sw, dw, x0, cw, kernel);
   FilterWeights fy = filter_weights(sh, dh, y0, ch, kernel);
-  // horizontal pass into temp [sh, dw, 3]
-  std::vector<float> tmp(size_t(sh) * dw * 3);
-  for (int y = 0; y < sh; ++y) {
+  // the vertical pass only reads rows in the crop window's filter support —
+  // restrict the horizontal pass to those (crop-heavy grid items would
+  // otherwise filter the whole image height per crop)
+  int y_lo = sh, y_hi = 0;
+  for (int y = 0; y < dh; ++y) {
+    y_lo = std::min(y_lo, fy.bounds[y]);
+    y_hi = std::max(y_hi, fy.bounds[y] + fy.counts[y]);
+  }
+  y_lo = std::max(0, y_lo);
+  y_hi = std::min(sh, std::max(y_hi, y_lo));
+  // horizontal pass into temp [y_hi - y_lo, dw, 3] (window rows only)
+  std::vector<float> tmp(size_t(y_hi - y_lo) * dw * 3);
+  for (int y = y_lo; y < y_hi; ++y) {
     const uint8_t* row = src + size_t(y) * sw * 3;
-    float* trow = tmp.data() + size_t(y) * dw * 3;
+    float* trow = tmp.data() + size_t(y - y_lo) * dw * 3;
     for (int x = 0; x < dw; ++x) {
       const float* w = fx.weights.data() + size_t(x) * fx.max_taps;
       int lo = fx.bounds[x], cnt = fx.counts[x];
@@ -211,7 +221,7 @@ void resize_crop(const uint8_t* src, int sw, int sh, float x0, float y0, float c
     float* drow = dst + size_t(y) * dw * 3;
     for (int x = 0; x < dw * 3; ++x) {
       float acc = 0;
-      for (int k = 0; k < cnt; ++k) acc += w[k] * tmp[size_t(lo + k) * dw * 3 + x];
+      for (int k = 0; k < cnt; ++k) acc += w[k] * tmp[size_t(lo + k - y_lo) * dw * 3 + x];
       drow[x] = acc;
     }
   }
@@ -243,9 +253,12 @@ class Pool {
     for (auto& t : workers_) t.join();
   }
   void submit(std::function<bool()> job) {
+    size_t id;
     {
       std::unique_lock<std::mutex> lk(mu_);
-      jobs_.push(std::move(job));
+      id = status_.size();
+      status_.push_back(2);  // pending
+      jobs_.push({id, std::move(job)});
       ++pending_;
     }
     cv_.notify_one();
@@ -253,13 +266,28 @@ class Pool {
   int wait_all() {
     std::unique_lock<std::mutex> lk(mu_);
     done_cv_.wait(lk, [this] { return pending_ == 0; });
+    status_.clear();
     return errors_.exchange(0);
+  }
+  // Wait, then write per-job success flags (1 ok, 0 failed) in submission
+  // order into `out` (up to cap); returns the job count since the last wait.
+  // Lets callers confine slow-path fallbacks to the jobs that failed.
+  int wait_status(uint8_t* out, int cap) {
+    std::unique_lock<std::mutex> lk(mu_);
+    done_cv_.wait(lk, [this] { return pending_ == 0; });
+    int n = static_cast<int>(status_.size());
+    if (out) {
+      for (int i = 0; i < n && i < cap; ++i) out[i] = status_[i] == 1 ? 1 : 0;
+    }
+    status_.clear();
+    errors_.exchange(0);
+    return n;
   }
 
  private:
   void run() {
     for (;;) {
-      std::function<bool()> job;
+      std::pair<size_t, std::function<bool()>> job;
       {
         std::unique_lock<std::mutex> lk(mu_);
         cv_.wait(lk, [this] { return stop_ || !jobs_.empty(); });
@@ -269,19 +297,21 @@ class Pool {
       }
       bool ok = false;
       try {
-        ok = job();
+        ok = job.second();
       } catch (...) {
       }
       if (!ok) ++errors_;
       {
         std::unique_lock<std::mutex> lk(mu_);
+        if (job.first < status_.size()) status_[job.first] = ok ? 1 : 0;
         if (--pending_ == 0) done_cv_.notify_all();
       }
     }
   }
   std::mutex mu_;
   std::condition_variable cv_, done_cv_;
-  std::queue<std::function<bool()>> jobs_;
+  std::queue<std::pair<size_t, std::function<bool()>>> jobs_;
+  std::vector<uint8_t> status_;
   std::vector<std::thread> workers_;
   bool stop_;
   int pending_;
@@ -298,6 +328,9 @@ extern "C" {
 void* csl_pool_create(int num_threads) { return new Pool(std::max(1, num_threads)); }
 void csl_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }
 int csl_pool_wait(void* pool) { return static_cast<Pool*>(pool)->wait_all(); }
+int csl_pool_wait_status(void* pool, uint8_t* out, int cap) {
+  return static_cast<Pool*>(pool)->wait_status(out, cap);
+}
 
 // Synchronous decode: returns malloc'd RGB u8 buffer (caller frees with
 // csl_free) and writes w/h.
@@ -392,10 +425,17 @@ int csl_submit_resize_pad(void* pool, const char* path, int target, const float*
     int nw = std::max(1, int(std::round(img.w * scale)));
     int nh = std::max(1, int(std::round(img.h * scale)));
     std::vector<float> resized(size_t(nw) * nh * 3);
+    // bicubic + black-then-normalize padding, matching det_transform and
+    // csl_submit_distill_item above (PIL-parity path)
     resize_crop(img.data.data(), img.w, img.h, 0, 0, float(img.w), float(img.h),
-                resized.data(), nw, nh);
+                resized.data(), nw, nh, Kernel::kBicubic);
     normalize_inplace(resized.data(), size_t(nw) * nh, m.data(), s.data());
-    memset(out, 0, size_t(target) * target * 3 * sizeof(float));
+    float padv[3] = {(0.f - m[0]) / s[0], (0.f - m[1]) / s[1], (0.f - m[2]) / s[2]};
+    for (int y = 0; y < target; ++y)
+      for (int x = 0; x < target; ++x) {
+        float* px = out + (size_t(y) * target + x) * 3;
+        px[0] = padv[0]; px[1] = padv[1]; px[2] = padv[2];
+      }
     for (int y = 0; y < nh; ++y)
       memcpy(out + size_t(y) * target * 3, resized.data() + size_t(y) * nw * 3,
              size_t(nw) * 3 * sizeof(float));
