@@ -114,7 +114,8 @@ class MultimodalBlock(nn.Module):
 
 
 class CoCa(nn.Module):
-    """Contrastive captioner over any of this framework's vision towers."""
+    """Contrastive captioner over the framework's ViT towers (EVA or
+    OpenCLIP; ResNet towers have no token stream for the pooler)."""
 
     cfg: CLIPConfig
     multimodal_layers: int = 6
@@ -153,10 +154,12 @@ class CoCa(nn.Module):
     def _image_tokens(self, image):
         """Vision trunk token sequence -> (contrastive embed, caption tokens)."""
         visual = self.clip.visual
-        t, grid = visual.embed(image)
-        for blk in visual.blocks:
-            t = blk(t, grid, None)
-        t = visual.norm(t).astype(self.dtype)
+        if not hasattr(visual, "forward_tokens"):
+            raise NotImplementedError(
+                "CoCa needs a token-sequence vision tower (EVA or OpenCLIP "
+                "ViT); ResNet towers have no token stream, as in the reference"
+            )
+        t = visual.forward_tokens(image)
         pooled = self.img_pooler(self.img_proj(t))
         contrastive = l2_normalize(self.contrastive_proj(pooled[:, 0]))
         return contrastive, pooled[:, 1:]
@@ -313,6 +316,7 @@ def beam_search(
     num_beam_groups: int = 1,
     min_len: int = 1,
     repetition_penalty: float = 1.0,
+    length_penalty: float = 1.0,
 ):
     """Fixed-shape beam search (reference `_generate_beamsearch`,
     `coca_model.py:289-343`). Groups partition the beams into independent
@@ -347,7 +351,7 @@ def beam_search(
         return out["logits"]
 
     def step(carry, pos):
-        tokens, scores, done = carry
+        tokens, scores, done, lens = carry
         logits = logits_fn(tokens)[:, pos - 1].astype(jnp.float32)  # [B*K, V]
         v = logits.shape[-1]
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -373,10 +377,19 @@ def beam_search(
         bi = jnp.arange(b)[:, None]
         tokens = tokens[bi, src_beam]  # reorder frontiers
         tokens = tokens.at[:, :, pos].set(token_idx)
-        done = done[bi, src_beam] | (token_idx == eot_id)
-        return (tokens, new_scores, done), None
+        was_done = done[bi, src_beam]
+        done = was_done | (token_idx == eot_id)
+        # generated length (incl. eot) freezes when a beam finishes
+        lens = jnp.where(was_done, lens[bi, src_beam], pos + 1)
+        return (tokens, new_scores, done, lens), None
 
-    carry0 = (tokens0, scores0, jnp.zeros((b, k), bool))
-    (tokens, scores, _), _ = jax.lax.scan(step, carry0, jnp.arange(1, max_len))
-    best = jnp.argmax(scores, axis=-1)
+    carry0 = (
+        tokens0, scores0, jnp.zeros((b, k), bool), jnp.ones((b, k), jnp.int32)
+    )
+    (tokens, scores, _, lens), _ = jax.lax.scan(
+        step, carry0, jnp.arange(1, max_len)
+    )
+    # HF BeamSearchScorer selection: cumulative log-prob / length^penalty
+    norm = scores / jnp.maximum(lens.astype(jnp.float32), 1.0) ** length_penalty
+    best = jnp.argmax(norm, axis=-1)
     return tokens[jnp.arange(b), best]

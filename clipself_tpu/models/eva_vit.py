@@ -449,6 +449,16 @@ class EvaViT(nn.Module):
         t = self.norm(t).astype(self.dtype)
         return self.head(t[:, 0])
 
+    def forward_tokens(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Final-norm token sequence [B, 1+gh*gw, width] (CLS first) for
+        attentional-pooling consumers (CoCa's AttentionalPooler)."""
+        t, grid = self.embed(x)
+        t, seg, n = self._pad_for_flash(t)
+        bias = self._shared_bias()
+        for blk in self.blocks:
+            t = blk(t, grid, bias, seg)
+        return self.norm(t[:, :n]).astype(self.dtype)
+
     def encode_dense(self, x: jnp.ndarray, keep_shape: bool = True) -> jnp.ndarray:
         """Dense patch-token feature map: blocks[:-1] normally, final block
         without attention, drop CLS, norm + head, L2-normalize

@@ -74,6 +74,17 @@ def create_model(
                 "hf_pretrained=True to load its hub weights",
                 cfg.text.hf_model_name,
             )
+    if pretrained:
+        # the checkpoint path starts from eval_shape (no wasted init); any
+        # leaf the checkpoint did not cover is still abstract — materialize
+        # those from a real init so strict=False semantics hold
+        leaves = jax.tree.leaves(params)
+        if any(isinstance(x, jax.ShapeDtypeStruct) for x in leaves):
+            real = jax.jit(_init)()
+            params = jax.tree.map(
+                lambda a, b: b if isinstance(a, jax.ShapeDtypeStruct) else a,
+                params, real,
+            )
     return model, params
 
 

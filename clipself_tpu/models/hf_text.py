@@ -39,7 +39,10 @@ def _hf_flax_module(model_name_or_config, hf_config_kwargs: Optional[dict] = Non
             cfg = AutoConfig.from_pretrained(model_name_or_config, **(hf_config_kwargs or {}))
     else:
         cfg = model_name_or_config
-    wrapper = FlaxAutoModel.from_config(cfg)
+    # _do_init=False: we only need the Flax module definition — eager init
+    # would materialize (and discard) the full trunk's random weights on
+    # every setup/trace
+    wrapper = FlaxAutoModel.from_config(cfg, _do_init=False)
     return wrapper.module, cfg
 
 

@@ -177,6 +177,14 @@ class OpenCLIPViT(nn.Module):
         pooled = self.ln_post(t[:, 0]).astype(self.dtype)
         return pooled @ self.proj.astype(pooled.dtype)
 
+    def forward_tokens(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Final-norm token sequence [B, 1+gh*gw, width] (CLS first) for
+        attentional-pooling consumers (CoCa's AttentionalPooler)."""
+        t, _ = self.embed(x)
+        for blk in self.blocks:
+            t = blk(t)
+        return self.ln_post(t).astype(self.dtype)
+
     def encode_dense(self, x: jnp.ndarray, keep_shape: bool = True) -> jnp.ndarray:
         t, (gh, gw) = self.embed(x)
         for blk in self.blocks[:-1]:

@@ -33,7 +33,9 @@ def load_openai_state_dict(path: str) -> dict[str, np.ndarray]:
 def config_from_openai_state_dict(sd: dict[str, np.ndarray]) -> CLIPConfig:
     """Infer the architecture from tensor shapes (reference
     `build_model_from_openai_state_dict`, `src/open_clip/model.py:417-448`)."""
-    is_vit = "visual.conv1.weight" in sd
+    # ResNets also have visual.conv1 — the projection matrix is the ViT
+    # discriminator (reference `model.py:421`)
+    is_vit = "visual.proj" in sd
     embed_dim = sd["text_projection"].shape[1]
     if is_vit:
         width = sd["visual.conv1.weight"].shape[0]
@@ -52,12 +54,13 @@ def config_from_openai_state_dict(sd: dict[str, np.ndarray]) -> CLIPConfig:
             len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")})
             for b in (1, 2, 3, 4)
         ]
-        width = sd["visual.layer1.0.conv1.weight"].shape[0] * 4  # stage-1 expansion
-        out_dim = sd["visual.attnpool.positional_embedding"].shape[-1]
+        # stem width (64 for RN50) — reference `model.py:435` reads it off the
+        # stage-1 bottleneck's first conv directly
+        width = sd["visual.layer1.0.conv1.weight"].shape[0]
         spatial = round((sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
         vision = VisionConfig(
-            image_size=spatial * 32, layers=len(counts), width=out_dim,
-            head_width=out_dim // 32, patch_size=32,
+            image_size=spatial * 32, layers=len(counts), width=width,
+            head_width=64, patch_size=32,
             resnet_layers=tuple(counts), ln_eps=1e-5, quick_gelu=True,
         )
     text = TextConfig(

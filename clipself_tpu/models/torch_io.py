@@ -118,6 +118,32 @@ def _vision_key_map(flax_key: tuple[str, ...], cfg: CLIPConfig):
             return f"{base}.mlp.{sub}.{'weight' if t else 'bias'}", t
         if rest[0] in ("gamma_1", "gamma_2"):
             return f"{base}.{rest[0]}", None
+    # --- ModifiedResNet tower (visual.layer{s}.{i} torch layout) ---
+    bn = {"scale": "weight", "bias": "bias", "mean": "running_mean", "var": "running_var"}
+    if re.fullmatch(r"conv[23]", k[0]) and k[1] == "kernel":
+        return f"visual.{k[0]}.weight", "conv"
+    if re.fullmatch(r"bn[123]", k[0]):
+        return f"visual.{k[0]}.{bn[k[1]]}", None
+    m = re.fullmatch(r"layer(\d+)_(\d+)", k[0])
+    if m:
+        base = f"visual.layer{m.group(1)}.{m.group(2)}"
+        rest = k[1:]
+        if re.fullmatch(r"conv[123]", rest[0]) and rest[1] == "kernel":
+            return f"{base}.{rest[0]}.weight", "conv"
+        if re.fullmatch(r"bn[123]", rest[0]):
+            return f"{base}.{rest[0]}.{bn[rest[1]]}", None
+        # CLIP's Bottleneck downsample = Sequential(avgpool, conv '0', bn '1')
+        if rest[0] == "downsample_conv" and rest[1] == "kernel":
+            return f"{base}.downsample.0.weight", "conv"
+        if rest[0] == "downsample_bn":
+            return f"{base}.downsample.1.{bn[rest[1]]}", None
+    if k[0] == "attnpool":
+        rest = k[1:]
+        if rest == ["positional_embedding"]:
+            return "visual.attnpool.positional_embedding", None
+        if rest[0] in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            t = "linear" if rest[1] == "kernel" else None
+            return f"visual.attnpool.{rest[0]}.{'weight' if t else 'bias'}", t
     raise KeyError(f"unmapped vision param: {flax_key}")
 
 
@@ -235,6 +261,13 @@ def import_state_dict(sd: dict, params: Any, cfg: CLIPConfig, strict: bool = Fal
                 raise
             new_flat[path] = init_val
             continue
+        if tkey not in sd and tkey.startswith("text."):
+            # open_clip hub checkpoints store text-tower keys unprefixed
+            # (the reference normalizes via convert_to_custom_text_state_dict,
+            # `src/open_clip/model.py:394-414`)
+            alt = tkey[len("text."):]
+            if alt in sd:
+                tkey = alt
         if tkey not in sd:
             if strict:
                 raise KeyError(f"checkpoint missing {tkey}")

@@ -51,7 +51,8 @@ class FlaxTrunkAdapter(nn.Module):
                 self.model_type_or_name, **(self.hf_config_kwargs or {})
             )
         self.hf_config = cfg
-        self.trunk = FlaxAutoModel.from_config(cfg).module
+        # _do_init=False: module definition only, skip eager weight init
+        self.trunk = FlaxAutoModel.from_config(cfg, _do_init=False).module
         self.patch_size = getattr(cfg, "patch_size", 16)
         self.head = nn.Dense(
             self.embed_dim, use_bias=False, dtype=self.dtype,

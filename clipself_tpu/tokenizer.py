@@ -51,7 +51,7 @@ def _get_pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
     return set(zip(word[:-1], word[1:]))
 
 
-def _clean_text(text: str) -> str:
+def _clean_text(text: str, lower: bool = True) -> str:
     try:  # ftfy if present (parity with the reference); otherwise skip
         import ftfy
 
@@ -60,7 +60,10 @@ def _clean_text(text: str) -> str:
         pass
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
-    return text.strip().lower()
+    text = text.strip()
+    # the CLIP BPE is lowercase; HF tokenizers are case-sensitive and the
+    # reference's HFTokenizer does not lowercase (tokenizer.py whitespace_clean)
+    return text.lower() if lower else text
 
 
 class SimpleTokenizer:
@@ -165,7 +168,7 @@ class HFTokenizer:
     ) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
-        texts = [_clean_text(t) for t in texts]
+        texts = [_clean_text(t, lower=False) for t in texts]
         out = self.tokenizer(
             texts,
             return_tensors="np",

@@ -109,9 +109,21 @@ def trainable_labels(params: Any, unlocked_groups: int, num_layers: int, lock_im
     The text tower and logit_scale are always frozen (the loss detaches the
     temperature; the reference clamps but never meaningfully updates it in the
     shipped recipes). When lock_image is True, only the last
-    ``unlocked_groups`` vision blocks train.
+    ``unlocked_groups`` vision groups train, following each tower family's
+    reference lock():
+      - EVA / OpenCLIP ViT: the last N transformer blocks (`eva_vit_model.py:
+        500-516`, `transformer.py:391-409` — ln_post/proj/stem stay frozen in
+        both; the commented-out group entries in the reference are frozen).
+      - ModifiedResNet: groups = [stem, layer1..layer4], frozen while their
+        index <= 5 - N; attnpool is never locked (`modified_resnet.py:255-278`).
     """
+    import re
+
     first_trainable = num_layers - unlocked_groups
+    freeze_at = 5 - unlocked_groups  # ResNet group formula
+    # 'conv1' is a ViT stem in one family and the ResNet stem in the other
+    visual = params.get("visual", {}) if hasattr(params, "get") else {}
+    is_resnet = "bn1" in visual
 
     def decide(path, leaf):
         name = _path_str(path)
@@ -119,11 +131,23 @@ def trainable_labels(params: Any, unlocked_groups: int, num_layers: int, lock_im
             return "freeze"
         if not lock_image:
             return "train"
-        # visual/blocks_{i}/...
         parts = name.split("/")
-        if len(parts) >= 2 and parts[0] == "visual" and parts[1].startswith("blocks_"):
-            i = int(parts[1].split("_")[1])
-            return "train" if i >= first_trainable else "freeze"
+        if len(parts) < 2 or parts[0] != "visual":
+            return "freeze"
+        p1 = parts[1]
+        m = re.match(r"(?:res)?blocks_(\d+)$", p1)
+        if m:
+            return "train" if int(m.group(1)) >= first_trainable else "freeze"
+        m = re.match(r"layer(\d+)_\d+$", p1)  # ResNet stage s -> lock group s+1
+        if m:
+            return "freeze" if int(m.group(1)) + 1 <= freeze_at else "train"
+        if p1 == "attnpool":
+            return "train"
+        if (p1 in ("conv2", "conv3", "bn1", "bn2", "bn3")) or (
+            p1 == "conv1" and is_resnet
+        ):  # ResNet stem = lock group 1
+            return "freeze" if freeze_at >= 1 else "train"
+        # ViT stem/pos-embed/final norm/head: frozen under lock (see above)
         return "freeze"
 
     return jtu.tree_map_with_path(decide, params)

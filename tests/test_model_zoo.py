@@ -217,7 +217,11 @@ def test_coca_beam_search(coca_setup):
     from clipself_tpu.models.coca import beam_search, generate
 
     model, params, img, _, cfg = coca_setup
-    beam = beam_search(model, params, img, sot_id=1, eot_id=2, max_len=8, num_beams=4)
+    # length_penalty=0 selects by raw cumulative log-prob, where beam >= greedy
+    beam = beam_search(
+        model, params, img, sot_id=1, eot_id=2, max_len=8, num_beams=4,
+        length_penalty=0.0,
+    )
     beam = np.asarray(beam)
     assert beam.shape == (2, 8)
     assert (beam[:, 0] == 1).all()
@@ -384,3 +388,20 @@ def test_hf_trunk_param_graft():
 
     with _pytest.raises(ValueError):
         load_hf_trunk_params(params, {"wrong": jnp.zeros((1,))})
+
+
+def test_openai_resnet_config_inference():
+    """RN config inference reads the stem width off the stage-1 bottleneck
+    (reference model.py:435), not the attnpool output dim."""
+    from clipself_tpu.models.openai import config_from_openai_state_dict
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import export_state_dict
+
+    cfg = get_model_config("RN-Tiny-Test")
+    _, params = create_model(cfg, dtype=jnp.float32)
+    sd = export_state_dict(params, cfg)
+    openai_sd = {(k[5:] if k.startswith("text.") else k): v for k, v in sd.items()}
+    inferred = config_from_openai_state_dict(openai_sd)
+    assert inferred.vision.width == cfg.vision.width
+    assert inferred.vision.resnet_layers == cfg.vision.resnet_layers
+    assert inferred.embed_dim == cfg.embed_dim

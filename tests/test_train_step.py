@@ -271,3 +271,57 @@ def test_hybrid_dp_fsdp_tp_step_matches_data_parallel(setup):
     hy_mesh = create_mesh(8, axis_names=("data", "fsdp", "model"), shape=(2, 2, 2))
     hy = run(hy_mesh, shard=True)
     np.testing.assert_allclose(hy, dp, rtol=1e-5)
+
+
+def test_trainable_labels_openclip_and_resnet():
+    """Lock semantics must cover every tower family (reference
+    transformer.py:391-409, modified_resnet.py:255-278), not just EVA —
+    a silent all-freeze regression here trains nothing."""
+    from clipself_tpu.core.config import get_model_config
+    from clipself_tpu.models.factory import create_model
+
+    # OpenCLIP ViT: resblocks_{i} indexed like EVA blocks
+    vcfg = get_model_config("ViT-Tiny-Test")
+    _, vp = create_model(vcfg, dtype=jnp.float32)
+    labels = trainable_labels(vp, unlocked_groups=1, num_layers=vcfg.vision.layers)
+    flat = {"/".join(str(getattr(k, "key", k)) for k in p): v
+            for p, v in jax.tree_util.tree_leaves_with_path(labels)}
+    last = vcfg.vision.layers - 1
+    assert any(v == "train" for k, v in flat.items() if f"resblocks_{last}" in k)
+    assert all(v == "freeze" for k, v in flat.items() if "resblocks_0" in k and last != 0)
+    assert any(v == "train" for v in flat.values()), "must not freeze everything"
+
+    # ResNet: stages from the end; attnpool always trainable
+    rcfg = get_model_config("RN-Tiny-Test")
+    _, rp = create_model(rcfg, dtype=jnp.float32)
+    labels = trainable_labels(rp, unlocked_groups=1, num_layers=4)
+    flat = {"/".join(str(getattr(k, "key", k)) for k in p): v
+            for p, v in jax.tree_util.tree_leaves_with_path(labels)}
+    assert all(v == "train" for k, v in flat.items() if "attnpool" in k)
+    assert any(v == "train" for k, v in flat.items() if "layer4_" in k)
+    assert all(v == "freeze" for k, v in flat.items() if "layer1_" in k)
+    assert all(v == "freeze" for k, v in flat.items()
+               if k.startswith("visual/bn1") or k.startswith("visual/conv1"))
+
+
+def test_resnet_torch_roundtrip():
+    """ModifiedResNet params survive export -> import through the torch
+    layout (previously unmapped: checkpoints silently kept random init)."""
+    from clipself_tpu.core.config import get_model_config
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import export_state_dict, import_state_dict
+
+    cfg = get_model_config("RN-Tiny-Test")
+    model, params = create_model(cfg, dtype=jnp.float32, seed=0)
+    sd = export_state_dict(params, cfg)
+    assert "visual.layer1.0.conv1.weight" in sd
+    assert "visual.attnpool.q_proj.weight" in sd
+    assert "visual.bn1.running_mean" in sd
+    _, params2 = create_model(cfg, dtype=jnp.float32, seed=1)
+    restored = import_state_dict(sd, params2, cfg, strict=True)
+    a = np.asarray(restored["visual"]["layer1_0"]["conv2"]["kernel"])
+    b = np.asarray(params["visual"]["layer1_0"]["conv2"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    c = np.asarray(restored["visual"]["attnpool"]["c_proj"]["kernel"])
+    d = np.asarray(params["visual"]["attnpool"]["c_proj"]["kernel"])
+    np.testing.assert_allclose(c, d, atol=1e-6)
