@@ -17,3 +17,21 @@ from clipself_tpu.core.config import (  # noqa: F401
     get_model_config,
     list_models,
 )
+
+
+def __getattr__(name):
+    # lazy top-level entry points (mirrors the reference's open_clip API
+    # surface) without importing jax/flax at package import
+    if name in ("create_model", "create_model_and_transforms", "get_tokenizer"):
+        from clipself_tpu.models import factory
+
+        return getattr(factory, name)
+    if name == "tokenize":
+        from clipself_tpu.tokenizer import tokenize
+
+        return tokenize
+    if name == "list_pretrained":
+        from clipself_tpu.models.pretrained import list_pretrained
+
+        return list_pretrained
+    raise AttributeError(f"module 'clipself_tpu' has no attribute {name!r}")
