@@ -292,3 +292,55 @@ def test_pos_embed_bicubic_golden():
     ).numpy()
     got = np.asarray(resize_2d(jnp.asarray(pe), (9, 9), method="bicubic"))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shared", [False, True])
+def test_eva_rel_pos_bias_golden(shared):
+    """BEiT rel-pos-bias (per-block and shared) against the actual reference
+    modules (`eva_vit_model.py:134-162,359-393`), with randomized tables so
+    the bias actually shapes the output."""
+    import jax.numpy as jnp
+
+    ev = _ref_module("ref_eva", f"{REF}/eva_clip", "eva_vit_model")
+    torch.manual_seed(3)
+    ref = ev.EVAVisionTransformer(
+        img_size=TINY["img_size"], patch_size=TINY["patch_size"],
+        num_classes=TINY["embed"], use_mean_pooling=False, init_values=None,
+        patch_dropout=0.0, embed_dim=TINY["width"], depth=TINY["depth"],
+        num_heads=TINY["heads"], mlp_ratio=2.6667, qkv_bias=True,
+        drop_path_rate=0.0, norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+        xattn=False, rope=False, postnorm=False, pt_hw_seq_len=16,
+        intp_freq=False, naiveswiglu=True, subln=True,
+        use_rel_pos_bias=not shared, use_shared_rel_pos_bias=shared,
+    ).eval()
+    with torch.no_grad():  # zero-init tables are a no-op; randomize them
+        for name, p in ref.named_parameters():
+            if "relative_position_bias_table" in name:
+                p.normal_(0.0, 0.5)
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    cfg = CLIPConfig(
+        embed_dim=TINY["embed"],
+        vision=VisionConfig(
+            image_size=TINY["img_size"], layers=TINY["depth"], width=TINY["width"],
+            head_width=TINY["width"] // TINY["heads"], patch_size=TINY["patch_size"],
+            mlp_ratio=2.6667, rope=False, naiveswiglu=True, subln=True,
+            use_rel_pos_bias=not shared, use_shared_rel_pos_bias=shared,
+            eva_model_name="tiny-relpos-golden",
+        ),
+        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
+        name="tiny-relpos-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img).permute(0, 3, 1, 2), return_all_features=False)
+    got = model.apply({"params": params}, jnp.asarray(img), method="encode_image")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4, rtol=1e-3)
