@@ -344,3 +344,56 @@ def test_eva_rel_pos_bias_golden(shared):
         want = ref(torch.from_numpy(img).permute(0, 3, 1, 2), return_all_features=False)
     got = model.apply({"params": params}, jnp.asarray(img), method="encode_image")
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_modified_resnet_forward_golden():
+    """Anti-aliased CLIP ResNet forward against the actual reference
+    (`modified_resnet.py:207-...`) through the torch state-dict import."""
+    # the reference file absolute-imports `open_clip.utils`; provide a stub
+    if "open_clip" not in sys.modules:
+        oc = types.ModuleType("open_clip")
+        oc.__path__ = []
+        utils = types.ModuleType("open_clip.utils")
+        utils.freeze_batch_norm_2d = lambda m, *a, **k: None
+        oc.utils = utils
+        sys.modules["open_clip"] = oc
+        sys.modules["open_clip.utils"] = utils
+    mr = _ref_module("ref_mrn", REF, "modified_resnet")
+    torch.manual_seed(2)
+    width, embed = 8, 48
+    ref = mr.ModifiedResNet(
+        layers=(1, 1, 1, 1), output_dim=embed, heads=width * 32 // 64,
+        image_size=64, width=width,
+    ).eval()
+    with torch.no_grad():  # default bn stats are identity; randomize them
+        for name, buf in ref.named_buffers():
+            if "running_mean" in name:
+                buf.normal_(0.0, 0.2)
+            elif "running_var" in name:
+                buf.uniform_(0.5, 1.5)
+
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    cfg = CLIPConfig(
+        embed_dim=embed,
+        vision=VisionConfig(
+            image_size=64, layers=4, width=width, head_width=64, patch_size=32,
+            resnet_layers=(1, 1, 1, 1),
+        ),
+        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
+        name="tiny-rn-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+
+    rng = np.random.default_rng(4)
+    img = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img).permute(0, 3, 1, 2))
+    got = model.apply({"params": params}, jnp.asarray(img), method="encode_image")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=5e-4, rtol=1e-3)
