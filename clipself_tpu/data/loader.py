@@ -123,8 +123,11 @@ class NativeDistillLoader:
         # use, when nobody else moved it during the chunk. Note the one-batch
         # prefetch skew: the first batch after a boundary may have been
         # planned under the previous epoch's rng.
+        local_epoch = int(getattr(self.ds, "epoch", 0))
         while True:
-            epoch = int(getattr(self.ds, "epoch", 0))
+            # datasets without an `epoch` attribute still get a fresh
+            # shuffle each pass via the local counter
+            epoch = int(getattr(self.ds, "epoch", local_epoch))
             order = (
                 np.random.default_rng((self.seed, epoch)).permutation(len(self.ds))
                 if self.shuffle
@@ -137,6 +140,7 @@ class NativeDistillLoader:
                 self.ds, "set_epoch"
             ):
                 self.ds.set_epoch(epoch + 1)
+            local_epoch = epoch + 1
 
     def _submit(self, pool, idxs):
         b = self.batch_size

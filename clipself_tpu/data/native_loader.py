@@ -149,10 +149,17 @@ class NativePool:
 
     def wait_status(self, num_jobs: int) -> np.ndarray:
         """Block until all jobs finish; returns a [num_jobs] uint8 array of
-        per-job success flags (1 ok, 0 failed) in submission order."""
+        per-job success flags (1 ok, 0 failed) in submission order.
+
+        If the pool's job count disagrees with `num_jobs` (e.g. stale jobs
+        from an abandoned iterator on a reused pool), every flag reports
+        failure — misaligned flags must force the safe fallback, never mark
+        a bad row ok."""
         out = np.zeros(max(num_jobs, 1), np.uint8)
         n = self._lib.csl_pool_wait_status(self._pool, out, out.shape[0])
-        return out[: min(n, num_jobs)]
+        if n != num_jobs:
+            return np.zeros(num_jobs, np.uint8)
+        return out[:num_jobs]
 
     def close(self):
         if self._pool:

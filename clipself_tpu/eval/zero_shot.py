@@ -79,21 +79,11 @@ def evaluate_zero_shot(
     emb_dev = jnp.asarray(emb)
 
     if mesh is not None:
-        from clipself_tpu.parallel.mesh import _DATA_LIKE_AXES, batch_sharding
+        import functools
 
-        _bs = batch_sharding(mesh)
-        _shards = 1
-        for a in mesh.axis_names:
-            if a in _DATA_LIKE_AXES:
-                _shards *= mesh.shape[a]
+        from clipself_tpu.parallel.mesh import put_batch_array
 
-        def to_device(x):
-            x = jnp.asarray(x)
-            # shard the batch over the data axes when it divides (an uneven
-            # tail batch falls back to replicated placement)
-            if x.shape[0] % _shards == 0:
-                return jax.device_put(x, _bs)
-            return x
+        to_device = functools.partial(put_batch_array, mesh)
     else:
         to_device = jnp.asarray
 

@@ -450,13 +450,19 @@ class EvaViT(nn.Module):
         return self.head(t[:, 0])
 
     def forward_tokens(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Final-norm token sequence [B, 1+gh*gw, width] (CLS first) for
-        attentional-pooling consumers (CoCa's AttentionalPooler)."""
+        """Final-norm token sequence [B, 1+K, width] (CLS first) for
+        attentional-pooling consumers (CoCa's AttentionalPooler). Patch
+        dropout applies here like the global-embedding path — this is a
+        pooled-consumption path, not the dense grid."""
         t, grid = self.embed(x)
-        t, seg, n = self._pad_for_flash(t)
+        t, pos_idx = self._patch_dropout(t)
+        if pos_idx is None:
+            t, seg, n = self._pad_for_flash(t)
+        else:
+            seg, n = None, t.shape[1]
         bias = self._shared_bias()
         for blk in self.blocks:
-            t = blk(t, grid, bias, seg)
+            t = blk(t, grid, bias, seg, pos_idx)
         return self.norm(t[:, :n]).astype(self.dtype)
 
     def encode_dense(self, x: jnp.ndarray, keep_shape: bool = True) -> jnp.ndarray:

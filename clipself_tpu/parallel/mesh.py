@@ -92,6 +92,28 @@ def shard_batch(mesh: Mesh, batch, axis=None):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def num_batch_shards(mesh: Mesh, axis=None) -> int:
+    """How many ways `batch_sharding` splits the leading dim."""
+    if axis is None:
+        axis = tuple(a for a in mesh.axis_names if a in _DATA_LIKE_AXES)
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+    return n
+
+
+def put_batch_array(mesh: Mesh, x, axis=None):
+    """Device-put one array batch-sharded, replicating instead when the
+    leading dim does not divide (uneven eval tail batches)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    if x.ndim and x.shape[0] % num_batch_shards(mesh, axis) == 0:
+        return jax.device_put(x, batch_sharding(mesh, axis))
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
 def _fsdp_spec(shape, axis_size: int, axis: str, min_size: int, taken=()) -> P:
     """Shard the largest dim divisible by `axis_size`; replicate small or
     indivisible leaves (the standard JAX FSDP layout rule). `taken` marks dim

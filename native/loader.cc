@@ -352,6 +352,37 @@ void csl_free(void* p) { free(p); }
 //    crop window to crop_size^2 and normalize into crops_out.
 // Mirrors GridDistillDataset/ProposalDistillDataset host work
 // (reference src/training/data.py:226-277).
+// Paint the normalized-black pad value into the margins of a W x H x 3
+// canvas NOT covered by the pasted image rows [y0, y0+ih) x cols [x0, x0+iw)
+// — covered pixels are written by the subsequent memcpy, so filling them
+// first would be wasted stores.
+static void fill_pad_margins(float* out, int W, int H, int x0, int y0, int iw,
+                             int ih, const float* padv) {
+  auto fill_row = [&](float* row, int n) {
+    for (int x = 0; x < n; ++x) {
+      row[x * 3 + 0] = padv[0];
+      row[x * 3 + 1] = padv[1];
+      row[x * 3 + 2] = padv[2];
+    }
+  };
+  for (int y = 0; y < H; ++y) {
+    float* row = out + size_t(y) * W * 3;
+    if (y < y0 || y >= y0 + ih) {
+      fill_row(row, W);
+      continue;
+    }
+    if (x0 > 0) fill_row(row, x0);
+    if (x0 + iw < W) fill_row(row + size_t(x0 + iw) * 3, W - x0 - iw);
+  }
+}
+
+// black padded BEFORE normalization (reference ResizeLongest fill=0 then
+// Normalize): padding value = (0 - mean) / std
+static void compute_padv(const std::vector<float>& m, const std::vector<float>& s,
+                         float* padv) {
+  for (int c = 0; c < 3; ++c) padv[c] = (0.f - m[c]) / s[c];
+}
+
 int csl_submit_distill_item(void* pool, const char* path, int det_size, int crop_size,
                             int num_crops, const float* crop_boxes, const float* mean,
                             const float* stdv, float* det_out, float* crops_out) {
@@ -361,9 +392,8 @@ int csl_submit_distill_item(void* pool, const char* path, int det_size, int crop
   static_cast<Pool*>(pool)->submit([=]() -> bool {
     ImageU8 img = decode_file(p.c_str());
     if (!img.ok) return false;
-    // black padded BEFORE normalization (reference ResizeLongest fill=0 then
-    // Normalize): padding value = (0 - mean) / std
-    float padv[3] = {(0.f - m[0]) / s[0], (0.f - m[1]) / s[1], (0.f - m[2]) / s[2]};
+    float padv[3];
+    compute_padv(m, s, padv);
     float scale = float(det_size) / std::max(img.w, img.h);
     int nw = std::max(1, int(std::round(img.w * scale)));
     int nh = std::max(1, int(std::round(img.h * scale)));
@@ -371,11 +401,7 @@ int csl_submit_distill_item(void* pool, const char* path, int det_size, int crop
     resize_crop(img.data.data(), img.w, img.h, 0, 0, float(img.w), float(img.h),
                 resized.data(), nw, nh, Kernel::kBicubic);
     normalize_inplace(resized.data(), size_t(nw) * nh, m.data(), s.data());
-    for (int y = 0; y < det_size; ++y)
-      for (int x = 0; x < det_size; ++x) {
-        float* px = det_out + (size_t(y) * det_size + x) * 3;
-        px[0] = padv[0]; px[1] = padv[1]; px[2] = padv[2];
-      }
+    fill_pad_margins(det_out, det_size, det_size, 0, 0, nw, nh, padv);
     for (int y = 0; y < nh; ++y)
       memcpy(det_out + size_t(y) * det_size * 3, resized.data() + size_t(y) * nw * 3,
              size_t(nw) * 3 * sizeof(float));
@@ -397,12 +423,8 @@ int csl_submit_distill_item(void* pool, const char* path, int det_size, int crop
                   Kernel::kBicubic);
       normalize_inplace(cbuf.data(), size_t(ow) * oh, m.data(), s.data());
       float* out = crops_out + size_t(c) * crop_size * crop_size * 3;
-      for (int y = 0; y < crop_size; ++y)
-        for (int x = 0; x < crop_size; ++x) {
-          float* px = out + (size_t(y) * crop_size + x) * 3;
-          px[0] = padv[0]; px[1] = padv[1]; px[2] = padv[2];
-        }
       int offx = (crop_size - ow) / 2, offy = (crop_size - oh) / 2;
+      fill_pad_margins(out, crop_size, crop_size, offx, offy, ow, oh, padv);
       for (int y = 0; y < oh; ++y)
         memcpy(out + (size_t(y + offy) * crop_size + offx) * 3,
                cbuf.data() + size_t(y) * ow * 3, size_t(ow) * 3 * sizeof(float));
@@ -430,12 +452,9 @@ int csl_submit_resize_pad(void* pool, const char* path, int target, const float*
     resize_crop(img.data.data(), img.w, img.h, 0, 0, float(img.w), float(img.h),
                 resized.data(), nw, nh, Kernel::kBicubic);
     normalize_inplace(resized.data(), size_t(nw) * nh, m.data(), s.data());
-    float padv[3] = {(0.f - m[0]) / s[0], (0.f - m[1]) / s[1], (0.f - m[2]) / s[2]};
-    for (int y = 0; y < target; ++y)
-      for (int x = 0; x < target; ++x) {
-        float* px = out + (size_t(y) * target + x) * 3;
-        px[0] = padv[0]; px[1] = padv[1]; px[2] = padv[2];
-      }
+    float padv[3];
+    compute_padv(m, s, padv);
+    fill_pad_margins(out, target, target, 0, 0, nw, nh, padv);
     for (int y = 0; y < nh; ++y)
       memcpy(out + size_t(y) * target * 3, resized.data() + size_t(y) * nw * 3,
              size_t(nw) * 3 * sizeof(float));
