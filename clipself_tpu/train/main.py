@@ -237,6 +237,14 @@ def main(argv=None):
     teacher_params = jax.tree.map(jnp.copy, params)  # must not alias donated state.params
 
     name = args.name or f"{args.model}-{args.dataset_type}-{time.strftime('%Y%m%d-%H%M%S')}"
+    if not args.name and jax.process_count() > 1:
+        # every host must agree on the run dir (reference broadcasts the
+        # date string, main.py:74-76)
+        from jax.experimental import multihost_utils
+
+        name = multihost_utils.broadcast_one_to_all(
+            np.frombuffer(name.ljust(96).encode(), np.uint8)
+        ).tobytes().decode().strip()
     out_dir = os.path.join(args.logs, name)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "params.txt"), "w") as f:
