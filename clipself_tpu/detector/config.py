@@ -133,6 +133,20 @@ OV_LVIS_VITB16 = FViTConfig(
     with_mask=True,
 )
 
+# reference `configs/ov_lvis/fvit_vitl14_upsample_fpn_bs64_4x_ovlvis_eva_original.py`:
+# L/14-336 tower at 896², learned/vlm temperature 50, beta=0.4 (comment there
+# notes 0.6-0.8 trades APr up), bg_weight=0.9, mask head on
+OV_LVIS_VITL14 = dataclasses.replace(
+    OV_COCO_VITL14,
+    num_classes=1203,
+    learned_temperature=50.0,
+    vlm_temperature=50.0,
+    alpha=0.1,
+    beta=0.4,
+    bg_weight=0.9,
+    with_mask=True,
+)
+
 # transfer evaluation: all classes fused with the base exponent
 # (reference `configs/transfer/fvit_vitl14_upsample_fpn_transfer2voc.py`:
 # alpha=0.3; transfer2coco/objects365 analogous)
@@ -150,6 +164,7 @@ PRESETS = {
     "ov_coco_vitb16": OV_COCO_VITB16,
     "ov_coco_vitl14": OV_COCO_VITL14,
     "ov_lvis_vitb16": OV_LVIS_VITB16,
+    "ov_lvis_vitl14": OV_LVIS_VITL14,
     "transfer_voc_vitl14": TRANSFER_VOC_VITL14,
     "transfer_objects365_vitl14": TRANSFER_OBJECTS365_VITL14,
     "transfer_coco_vitl14": TRANSFER_COCO_VITL14,

@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# CLIPSelf region-proposal distillation, EVA02-L/14-336 on COCO.
+# (reference: scripts/train_clipself_coco_region_proposals_eva_vitl14.sh)
+python -m clipself_tpu.train.main \
+  --model EVA02-CLIP-L-14-336 --pretrained checkpoints/EVA02_CLIP_L_336_psz14_s6B.pt \
+  --dataset-type proposals_distill --extract-type v2 \
+  --train-data data/coco/coco_proposals.json \
+  --train-image-root data/coco/train2017 \
+  --val-data data/coco/annotations/panoptic_val2017.json \
+  --val-image-root data/coco/val2017 \
+  --val-segm-root data/coco/annotations/panoptic_val2017 \
+  --embed-path metadata/coco_panoptic_clip_hand_craft_EVACLIP_ViTL14x336.npy \
+  --batch-size 16 --lr 1e-5 --wd 0.1 --epochs 6 --warmup 1000 --workers 4 \
+  --lock-image --lock-image-unlocked-groups 24 \
+  --det-image-size 896 --alpha 0.95 \
+  --zeroshot-frequency 1 --save-frequency 6 --log-every-n-steps 50 \
+  --native-loader \
+  --name clipself_proposals_coco_6_save6_test1_eva_vitl14_24layers "$@"
