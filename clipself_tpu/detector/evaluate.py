@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from clipself_tpu.detector.classes import base_novel_mask, coco_split, lvis_split
+from clipself_tpu.detector.classes import coco_split, lvis_split, transfer_split
 from clipself_tpu.detector.config import PRESETS, FViTConfig
 from clipself_tpu.detector.data import DetectionDataset, collate
 from clipself_tpu.detector.eval_ap import DetectionEvaluator
@@ -70,9 +70,14 @@ def evaluate_detector(
     max_images: int | None = None,
     mask_stride: int = 4,
     log_every: int = 50,
+    split: dict | None = None,
 ) -> dict:
-    split = coco_split() if dataset_name == "coco" else lvis_split()
-    bm = jnp.asarray(base_novel_mask(dataset_name))
+    if split is None:
+        split = coco_split() if dataset_name == "coco" else lvis_split()
+    seen = set(split["seen"])
+    # base/background rows fuse with alpha, novel with beta (all-True for
+    # transfer vocabularies, where every class uses the base exponent)
+    bm = jnp.asarray(np.asarray([n in seen for n in split["all"]] + [True]))
     predict = make_predict_fn(det, clip_model, cfg, jnp.asarray(class_embed), bm)
     ev = DetectionEvaluator(cfg.num_classes, with_mask=False)
     ev_mask = DetectionEvaluator(cfg.num_classes, with_mask=True) if cfg.with_mask else None
@@ -154,7 +159,11 @@ def main(argv=None):
 
     p = argparse.ArgumentParser("fvit-test")
     p.add_argument("--preset", default="ov_coco_vitb16", choices=sorted(PRESETS))
-    p.add_argument("--dataset", default="coco", choices=["coco", "lvis"])
+    p.add_argument("--dataset", default=None,
+                   choices=["coco", "lvis", "voc", "objects365"],
+                   help="class-split registry; inferred from --preset when "
+                   "omitted. Transfer presets use the full target vocabulary "
+                   "(reference configs/transfer/*)")
     p.add_argument("--ann-file", required=True)
     p.add_argument("--image-root", required=True)
     p.add_argument("--class-embed", required=True)
@@ -167,7 +176,25 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
 
     cfg = PRESETS[args.preset]
-    split = coco_split() if args.dataset == "coco" else lvis_split()
+    is_transfer = args.preset.startswith("transfer_")
+    if args.dataset is None:
+        if is_transfer:
+            args.dataset = args.preset.split("_")[1]
+        else:
+            args.dataset = "lvis" if "lvis" in args.preset else "coco"
+    if is_transfer:
+        split = transfer_split(args.dataset)
+    elif args.dataset == "coco":
+        split = coco_split()
+    elif args.dataset == "lvis":
+        split = lvis_split()
+    else:
+        raise SystemExit(f"--dataset {args.dataset} requires a transfer_* preset")
+    if len(split["all"]) != cfg.num_classes:
+        raise SystemExit(
+            f"--dataset {args.dataset} has {len(split['all'])} classes but "
+            f"preset {args.preset} expects {cfg.num_classes}"
+        )
     clip_model, clip_params = create_model(
         cfg.clip_model, dtype=jnp.bfloat16, pretrained=args.clip_checkpoint
     )
@@ -183,7 +210,7 @@ def main(argv=None):
     metrics = evaluate_detector(
         det, det_params, clip_model, clip_params, ds, cfg, ce,
         dataset_name=args.dataset, batch_size=args.batch_size,
-        max_images=args.max_images,
+        max_images=args.max_images, split=split,
     )
     print(json.dumps(metrics, indent=2))
     if args.out:

@@ -113,7 +113,8 @@ def make_det_train_step(
 def parse_args(argv=None):
     p = argparse.ArgumentParser("fvit-train")
     p.add_argument("--preset", default="ov_coco_vitb16", choices=sorted(PRESETS))
-    p.add_argument("--dataset", default="coco", choices=["coco", "lvis"])
+    p.add_argument("--dataset", default=None, choices=["coco", "lvis"],
+                   help="class-split registry; inferred from --preset when omitted")
     p.add_argument("--ann-file", default=None)
     p.add_argument("--image-root", default=None)
     p.add_argument("--class-embed", default=None, help=".npy [K+1, D] text embeddings")
@@ -141,8 +142,18 @@ def main(argv=None):
     cfg = PRESETS[args.preset]
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
 
+    if args.dataset is None:
+        args.dataset = "lvis" if "lvis" in args.preset else "coco"
     split = coco_split() if args.dataset == "coco" else lvis_split()
     k = len(split["all"])
+    if k != cfg.num_classes:
+        # a mismatched registry makes the background label (num_classes) an
+        # out-of-bounds gather index — JAX fills those with NaN, poisoning
+        # the cls loss
+        raise SystemExit(
+            f"--dataset {args.dataset} has {k} classes but preset "
+            f"{args.preset} expects {cfg.num_classes}"
+        )
     rng = np.random.default_rng(args.seed)
     if args.class_embed:
         ce = np.load(args.class_embed).astype(np.float32)

@@ -131,3 +131,19 @@ def test_coco_micro_subset_end_to_end(tmp_path):
     keys = set(lines[-1])
     assert any("rois" in k for k in keys)
     assert any("maskpool" in k for k in keys)
+
+
+def test_detector_dataset_preset_guard():
+    """A dataset registry whose size mismatches the preset's num_classes must
+    be rejected up front: the background label (num_classes) would be an
+    out-of-bounds gather index, which JAX fills with NaN in the cls loss."""
+    import pytest
+
+    from clipself_tpu.detector.train import parse_args as det_parse
+    from clipself_tpu.detector.train import main as det_main
+
+    args = det_parse(["--preset", "ov_lvis_vitb16", "--synthetic"])
+    assert args.dataset is None  # inferred later from the preset
+
+    with pytest.raises(SystemExit, match="1203"):
+        det_main(["--preset", "ov_lvis_vitb16", "--dataset", "coco", "--synthetic"])
