@@ -110,10 +110,14 @@ def _pallas_flash(q, k, v, scale, segment_mask=None):
         bwd_block = 512  # never above 768 (VMEM), even when fwd block is 1024
     else:
         bwd_block = min(block, 512)
+    # the FORWARD tolerates (and prefers) much larger tiles: 1536^2 measures
+    # ~8-12% faster than 768^2 at 4.6k tokens on v5e (fewer grid revisits of
+    # the m/l stats); the backward at 1536 would blow VMEM, so it stays apart
+    fwd_block = 1536 if npad % 1536 == 0 else block
     block_sizes = BlockSizes(
-        block_q=block,
-        block_k_major=block,
-        block_k=block,
+        block_q=fwd_block,
+        block_k_major=fwd_block,
+        block_k=fwd_block,
         block_b=1,
         block_q_major_dkv=bwd_block,
         block_k_major_dkv=bwd_block,
@@ -129,7 +133,7 @@ def _pallas_flash(q, k, v, scale, segment_mask=None):
             segf = segment_ids.q.astype(jnp.float32)
         else:
             segf = jnp.ones((b, npad), jnp.float32)
-        out = _flash_fused_vjp(q, k, v, segf, scale, block)
+        out = _flash_fused_vjp(q, k, v, segf, scale, fwd_block)
     else:
         out = flash_attention(
             q, k, v, segment_ids=segment_ids, sm_scale=scale, block_sizes=block_sizes
@@ -166,7 +170,10 @@ def _bundled_fwd(q, k, v, segf, scale, block, save_residuals):
 
 
 def _flash_fused_fwd(q, k, v, segf, scale, block):
-    out, l, m = _bundled_fwd(q, k, v, segf, scale, block, save_residuals=True)
+    # the residual-saving forward carries two extra f32 stats outputs whose
+    # lane-padded VMEM blocks overflow the 16MB scoped budget at 1536 tiles;
+    # cap the TRAINING forward at 768 (the inference primal keeps the big tile)
+    out, l, m = _bundled_fwd(q, k, v, segf, scale, min(block, 768), save_residuals=True)
     return out, (q, k, v, segf, out, l, m)
 
 
