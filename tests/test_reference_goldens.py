@@ -397,3 +397,165 @@ def test_modified_resnet_forward_golden():
         want = ref(torch.from_numpy(img).permute(0, 3, 1, 2))
     got = model.apply({"params": params}, jnp.asarray(img), method="encode_image")
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_text_transformer_golden():
+    """Our text tower against the reference `TextTransformer`
+    (`src/open_clip/transformer.py:884-1010`): token embed + pos embed +
+    causal transformer + ln_final + argmax(EOT) pooling + projection."""
+    tr = _ref_module("ref_oc", REF, "transformer")
+    torch.manual_seed(5)
+    ref = tr.TextTransformer(
+        context_length=8, vocab_size=64, width=32, heads=2, layers=2,
+        ls_init_value=None, output_dim=48,
+        act_layer=torch.nn.GELU, norm_layer=partial(torch.nn.LayerNorm, eps=1e-5),
+        embed_cls=False, pad_id=0, output_tokens=False,
+    ).eval()
+
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    cfg = CLIPConfig(
+        embed_dim=48,
+        vision=VisionConfig(
+            image_size=32, layers=1, width=32, head_width=16, patch_size=8,
+            mlp_ratio=4.0, ln_eps=1e-5,
+        ),
+        text=TextConfig(
+            context_length=8, vocab_size=64, width=32, heads=2, layers=2,
+            ln_eps=1e-5,
+        ),
+        name="tiny-text-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = {f"text.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+
+    # tokens: BOS-ish low ids then the max id as EOT (argmax pooling position),
+    # then pad zeros — mirrors the tokenizer's layout
+    text = np.zeros((3, 8), np.int64)
+    rng = np.random.default_rng(6)
+    for i, n in enumerate((3, 5, 7)):
+        text[i, :n] = rng.integers(1, 62, size=n)
+        text[i, n - 1] = 63  # EOT = highest id in the row
+    with torch.no_grad():
+        want = ref(torch.from_numpy(text))
+    got = model.apply({"params": params}, jnp.asarray(text), method="encode_text")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5, rtol=1e-4)
+
+
+def test_openclip_v1_mask_attn_golden():
+    """extract_type='v1' (mask-attention pooling, `transformer.py:659-667,
+    736-834`) against the actual reference modules — covers the box->grid
+    mask construction, the one-extra-query-per-box attention layout, and the
+    proj/normalize tail."""
+    tr = _ref_module("ref_oc", REF, "transformer")
+    torch.manual_seed(7)
+    ref = tr.VisionTransformer(
+        image_size=32, patch_size=8, width=64, layers=2, heads=2, mlp_ratio=4.0,
+        ls_init_value=None, global_average_pool=False, attentional_pool=False,
+        n_queries=0, attn_pooler_heads=1, output_dim=48,
+        patch_dropout=0.0, input_patchnorm=False,
+        act_layer=torch.nn.GELU, norm_layer=partial(torch.nn.LayerNorm, eps=1e-5),
+        output_tokens=False,
+    ).eval()
+
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    cfg = CLIPConfig(
+        embed_dim=48,
+        vision=VisionConfig(
+            image_size=32, layers=2, width=64, head_width=32, patch_size=8,
+            mlp_ratio=4.0, ln_eps=1e-5,
+        ),
+        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
+        name="tiny-v1-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+
+    rng = np.random.default_rng(8)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    # boxes aligned so every cell membership decision is unambiguous
+    boxes = np.asarray(
+        [
+            [[0.0, 0.0, 0.5, 0.5], [0.25, 0.25, 1.0, 1.0], [0.5, 0.0, 1.0, 0.5]],
+            [[0.0, 0.5, 0.5, 1.0], [0.0, 0.0, 1.0, 1.0], [0.25, 0.0, 0.75, 1.0]],
+        ],
+        np.float32,
+    )
+    with torch.no_grad():
+        want = ref.extract_roi_features(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(b) for b in boxes],
+            extract_type="v1",
+        ).numpy()
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(boxes), False, "v1",
+        method="encode_pseudo_boxes",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1, 48), want, atol=2e-4, rtol=1e-3
+    )
+
+
+def test_openclip_mask_pool_golden():
+    """mask_pool (`transformer.py:525-535`): masked mean of the normalized
+    dense map, against the reference modules."""
+    tr = _ref_module("ref_oc", REF, "transformer")
+    torch.manual_seed(9)
+    ref = tr.VisionTransformer(
+        image_size=32, patch_size=8, width=64, layers=2, heads=2, mlp_ratio=4.0,
+        ls_init_value=None, global_average_pool=False, attentional_pool=False,
+        n_queries=0, attn_pooler_heads=1, output_dim=48,
+        patch_dropout=0.0, input_patchnorm=False,
+        act_layer=torch.nn.GELU, norm_layer=partial(torch.nn.LayerNorm, eps=1e-5),
+        output_tokens=False,
+    ).eval()
+
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    cfg = CLIPConfig(
+        embed_dim=48,
+        vision=VisionConfig(
+            image_size=32, layers=2, width=64, head_width=32, patch_size=8,
+            mlp_ratio=4.0, ln_eps=1e-5,
+        ),
+        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
+        name="tiny-mp-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+
+    rng = np.random.default_rng(10)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    masks = (rng.uniform(size=(2, 3, 4, 4)) < 0.5).astype(np.float32)
+    masks[:, :, 1, 1] = 1.0  # no all-empty masks
+    with torch.no_grad():
+        want = ref.mask_pool(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(m) for m in masks],
+        ).numpy()
+    # ref.mask_pool is the raw tower op (no post-normalize); match it with
+    # normalize=False (the model-level encode_masks defaults to True on both
+    # sides — reference model.py:245-252)
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(masks), False,
+        method="encode_masks",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1, 48), want, atol=2e-4, rtol=1e-3
+    )
