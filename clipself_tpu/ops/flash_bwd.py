@@ -134,6 +134,11 @@ def flash_attention_bwd(
     Returns (dq, dk, dv) in q.dtype.
     """
     b, h, n, d = q.shape
+    if b > 2 and block_k > 768:
+        # at per-chip batch >= 4 the XLA pipeliner's scoped-VMEM accounting
+        # for this kernel exceeds the 16MB budget with 1536 kv blocks
+        # (measured in the full distill graph); 768 fits at every batch
+        block_k = 768
     if n % block_q or n % block_k:
         for cand in (768, 512, 256, 128):
             if n % cand == 0:
