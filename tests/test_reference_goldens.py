@@ -30,8 +30,58 @@ def _install_stubs():
         tv = types.ModuleType("torchvision")
         ops = types.ModuleType("torchvision.ops")
 
-        def roi_align(*a, **k):  # pragma: no cover - never called in goldens
-            raise NotImplementedError("stub")
+        def roi_align(
+            input, boxes, output_size, spatial_scale=1.0,
+            sampling_ratio=-1, aligned=False,
+        ):
+            """Functional torchvision.ops.roi_align for the 1x1 aligned
+            adaptive-sampling case the reference dense paths use
+            (`eva_vit_model.py:628`, `transformer.py:680`): ceil() sampling
+            grid, -0.5 aligned offset, bilinear with border clamping."""
+            assert tuple(output_size) == (1, 1) and sampling_ratio == -1 and aligned
+            import math
+
+            def bilin(fm, y, x):  # fm: [C, H, W]
+                c, h, w = fm.shape
+                if y < -1.0 or y > h or x < -1.0 or x > w:
+                    return torch.zeros(c)
+                y, x = max(y, 0.0), max(x, 0.0)
+                y0, x0 = int(math.floor(y)), int(math.floor(x))
+                if y0 >= h - 1:
+                    y0 = y1 = h - 1
+                    y = float(y0)
+                else:
+                    y1 = y0 + 1
+                if x0 >= w - 1:
+                    x0 = x1 = w - 1
+                    x = float(x0)
+                else:
+                    x1 = x0 + 1
+                ly, lx = y - y0, x - x0
+                hy, hx = 1.0 - ly, 1.0 - lx
+                return (
+                    hy * hx * fm[:, y0, x0] + hy * lx * fm[:, y0, x1]
+                    + ly * hx * fm[:, y1, x0] + ly * lx * fm[:, y1, x1]
+                )
+
+            outs = []
+            for bi, bx in enumerate(boxes):
+                fm = input[bi]
+                for row in bx * spatial_scale:
+                    # roi extents in FLOAT32, as the real torchvision kernel
+                    # does: e.g. 2.4f - 0.4f is exactly 2.0 in f32 (-> 2
+                    # samples) but 2.0000000894 in f64 (-> ceil 3)
+                    rw = float(row[2] - row[0])
+                    rh = float(row[3] - row[1])
+                    sx0, sy0 = float(row[0]) - 0.5, float(row[1]) - 0.5
+                    gh, gw = int(math.ceil(rh)), int(math.ceil(rw))
+                    acc = torch.zeros(fm.shape[0])
+                    for iy in range(gh):
+                        yy = sy0 + (iy + 0.5) * rh / gh
+                        for ix in range(gw):
+                            acc = acc + bilin(fm, yy, sx0 + (ix + 0.5) * rw / gw)
+                    outs.append(acc / max(gh * gw, 1))
+            return torch.stack(outs)[:, :, None, None]
 
         ops.roi_align = roi_align
         misc = types.ModuleType("torchvision.ops.misc")
@@ -558,4 +608,68 @@ def test_openclip_mask_pool_golden():
     )
     np.testing.assert_allclose(
         np.asarray(got).reshape(-1, 48), want, atol=2e-4, rtol=1e-3
+    )
+
+
+def test_eva_extract_roi_features_golden(eva_pair):
+    """extract_type='v2' (`eva_vit_model.py:625-629`): encode_dense ->
+    1x1 aligned adaptive roi_align, boxes denormalized against the
+    feature-map H,W — against the reference modules with a functional
+    torchvision-roi_align stand-in."""
+    import jax.numpy as jnp
+
+    ref, cfg, model, params = eva_pair
+    rng = np.random.default_rng(11)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    boxes = np.asarray(
+        [
+            [[0.1, 0.1, 0.6, 0.7], [0.0, 0.0, 1.0, 1.0], [0.4, 0.2, 0.9, 0.55]],
+            [[0.0, 0.5, 0.5, 1.0], [0.25, 0.25, 0.75, 0.75], [0.05, 0.6, 0.95, 0.8]],
+        ],
+        np.float32,
+    )
+    with torch.no_grad():
+        want = ref.extract_roi_features(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(b) for b in boxes],
+        ).numpy()
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(boxes), False,
+        method="encode_pseudo_boxes",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1, want.shape[-1]), want, atol=2e-4, rtol=1e-3
+    )
+
+
+def test_eva_rois_and_image_golden(eva_pair):
+    """encode_rois_and_image (`eva_vit_model.py:666-711`): one trunk pass
+    yields both the CLS image embedding and roi features off the dense map."""
+    import jax.numpy as jnp
+
+    ref, cfg, model, params = eva_pair
+    rng = np.random.default_rng(12)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    boxes = np.asarray(
+        [
+            [[0.0, 0.0, 0.5, 0.5], [0.2, 0.3, 0.9, 0.8]],
+            [[0.5, 0.5, 1.0, 1.0], [0.1, 0.0, 0.4, 0.9]],
+        ],
+        np.float32,
+    )
+    with torch.no_grad():
+        want_rois, want_img = ref.encode_rois_and_image(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(b) for b in boxes],
+        )
+    got_rois, got_img = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(boxes),
+        method="encode_rois_and_image",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_img), want_img.numpy(), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_rois).reshape(-1, want_rois.shape[-1]),
+        want_rois.numpy(), atol=2e-4, rtol=1e-3,
     )
