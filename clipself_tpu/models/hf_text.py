@@ -107,13 +107,23 @@ class HFTextTower(nn.Module):
         else:
             raise ValueError(f"unknown proj {self.proj!r}")
 
+    # model types whose positions start at padding_idx+1 and skip pad slots
+    # (fairseq convention; the transformers *wrapper* classes compute this,
+    # but we call the raw Flax module, whose default is a plain arange)
+    _PAD_OFFSET_POSITIONS = ("roberta", "roberta-prelayernorm", "xlm-roberta")
+
     def __call__(self, input_ids: jnp.ndarray, attention_mask: Optional[jnp.ndarray] = None):
         if attention_mask is None:
             # mask against the trunk's own pad id (reference `hf_model.py:138`
             # uses config.pad_token_id); RoBERTa-family pads with 1, not 0
             pad_id = getattr(self.hf_config, "pad_token_id", None)
             attention_mask = (input_ids != (0 if pad_id is None else pad_id)).astype(jnp.int32)
-        out = self.trunk(input_ids=input_ids, attention_mask=attention_mask)
+        kwargs = {}
+        if getattr(self.hf_config, "model_type", None) in self._PAD_OFFSET_POSITIONS:
+            pad_id = self.hf_config.pad_token_id
+            pad_mask = (input_ids != pad_id).astype(jnp.int32)
+            kwargs["position_ids"] = jnp.cumsum(pad_mask, axis=1) * pad_mask + pad_id
+        out = self.trunk(input_ids=input_ids, attention_mask=attention_mask, **kwargs)
         hidden = out.last_hidden_state
         pooled = self.pooler(hidden, attention_mask)
         return self.projection(pooled)

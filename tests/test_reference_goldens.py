@@ -10,6 +10,7 @@ parity check without pretrained weights.
 Skipped wholesale when the reference tree is absent.
 """
 
+import importlib.machinery
 import importlib.util
 import os
 import sys
@@ -25,21 +26,32 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference absent
 torch = pytest.importorskip("torch")
 
 
+def _mod(name):
+    # a real ModuleSpec so importlib.util.find_spec on the stub (e.g.
+    # transformers probing for ftfy) doesn't raise "spec is None"
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
 def _install_stubs():
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        ops = types.ModuleType("torchvision.ops")
+        tv = _mod("torchvision")
+        ops = _mod("torchvision.ops")
 
         def roi_align(
             input, boxes, output_size, spatial_scale=1.0,
             sampling_ratio=-1, aligned=False,
         ):
-            """Functional torchvision.ops.roi_align for the 1x1 aligned
+            """Functional torchvision.ops.roi_align for the aligned
             adaptive-sampling case the reference dense paths use
-            (`eva_vit_model.py:628`, `transformer.py:680`): ceil() sampling
-            grid, -0.5 aligned offset, bilinear with border clamping."""
-            assert tuple(output_size) == (1, 1) and sampling_ratio == -1 and aligned
+            (`eva_vit_model.py:628`, `transformer.py:680`,
+            `modified_resnet.py:327`): per-bin ceil() sampling grid,
+            -0.5 aligned offset, bilinear with border clamping."""
+            assert sampling_ratio == -1 and aligned
             import math
+
+            ph, pw = output_size
 
             def bilin(fm, y, x):  # fm: [C, H, W]
                 c, h, w = fm.shape
@@ -74,17 +86,24 @@ def _install_stubs():
                     rw = float(row[2] - row[0])
                     rh = float(row[3] - row[1])
                     sx0, sy0 = float(row[0]) - 0.5, float(row[1]) - 0.5
-                    gh, gw = int(math.ceil(rh)), int(math.ceil(rw))
-                    acc = torch.zeros(fm.shape[0])
-                    for iy in range(gh):
-                        yy = sy0 + (iy + 0.5) * rh / gh
-                        for ix in range(gw):
-                            acc = acc + bilin(fm, yy, sx0 + (ix + 0.5) * rw / gw)
-                    outs.append(acc / max(gh * gw, 1))
-            return torch.stack(outs)[:, :, None, None]
+                    bh, bw = rh / ph, rw / pw
+                    gh = int(math.ceil(np.float32(rh) / np.float32(ph)))
+                    gw = int(math.ceil(np.float32(rw) / np.float32(pw)))
+                    out = torch.zeros(fm.shape[0], ph, pw)
+                    for oy in range(ph):
+                        for ox in range(pw):
+                            acc = torch.zeros(fm.shape[0])
+                            for iy in range(gh):
+                                yy = sy0 + oy * bh + (iy + 0.5) * bh / gh
+                                for ix in range(gw):
+                                    xx = sx0 + ox * bw + (ix + 0.5) * bw / gw
+                                    acc = acc + bilin(fm, yy, xx)
+                            out[:, oy, ox] = acc / max(gh * gw, 1)
+                    outs.append(out)
+            return torch.stack(outs)
 
         ops.roi_align = roi_align
-        misc = types.ModuleType("torchvision.ops.misc")
+        misc = _mod("torchvision.ops.misc")
 
         class FrozenBatchNorm2d(torch.nn.Module):  # reference utils import
             def __init__(self, n, eps=1e-5):
@@ -119,12 +138,12 @@ def _install_stubs():
                 t.normal_(mean, std).clamp_(-2 * std, 2 * std)
             return t
 
-        layers = types.ModuleType("timm.models.layers")
+        layers = _mod("timm.models.layers")
         layers.drop_path = drop_path
         layers.to_2tuple = to_2tuple
         layers.trunc_normal_ = trunc_normal_
-        timm = types.ModuleType("timm")
-        models = types.ModuleType("timm.models")
+        timm = _mod("timm")
+        models = _mod("timm.models")
         timm.models = models
         models.layers = layers
         timm.layers = layers
@@ -137,7 +156,7 @@ def _install_stubs():
             }
         )
     if "ftfy" not in sys.modules:
-        ftfy = types.ModuleType("ftfy")
+        ftfy = _mod("ftfy")
         ftfy.fix_text = lambda s: s
         sys.modules["ftfy"] = ftfy
 
@@ -672,4 +691,269 @@ def test_eva_rois_and_image_golden(eva_pair):
     np.testing.assert_allclose(
         np.asarray(got_rois).reshape(-1, want_rois.shape[-1]),
         want_rois.numpy(), atol=2e-4, rtol=1e-3,
+    )
+
+
+def test_hf_text_encoder_golden(tmp_path):
+    """Reference `hf_model.py:83-152` (`HFTextEncoder`: AutoModel trunk,
+    pad-id attention mask, mean pooling, linear projection) vs our Flax
+    `HFTextTower` on a tiny offline RobertaConfig; weights bridged with
+    transformers' own pt->flax converter."""
+    import jax
+    import jax.numpy as jnp
+
+    transformers = pytest.importorskip("transformers")
+    from transformers import FlaxAutoModel, RobertaConfig
+
+    from clipself_tpu.models.hf_text import HFTextTower
+
+    hf = _ref_module("ref_openclip", REF, "hf_model")
+    cfg = RobertaConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=40, pad_token_id=1,
+        bos_token_id=0, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    ref = hf.HFTextEncoder(
+        "unused", output_dim=24, config=cfg,
+        pooler_type="mean_pooler", proj="linear",
+    ).eval()
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(3, 64, size=(3, 10))
+    ids[0, 7:] = 1  # pad tail -> exercises the pad-id mask
+    ids[2, 4:] = 1
+    with torch.no_grad():
+        want = ref(torch.from_numpy(ids)).numpy()
+
+    tower = HFTextTower(cfg, output_dim=24, pooler_type="mean_pooler", proj="linear")
+    ref.transformer.save_pretrained(tmp_path / "trunk")
+    trunk = FlaxAutoModel.from_pretrained(tmp_path / "trunk", from_pt=True).params
+    params = {
+        "trunk": jax.tree.map(jnp.asarray, trunk),
+        "proj": {"kernel": jnp.asarray(ref.proj.weight.detach().numpy().T)},
+    }
+    got = tower.apply({"params": params}, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def _openclip_pair(seed=1):
+    """Tiny reference OpenCLIP `VisionTransformer` + our imported twin
+    (same recipe as `test_openclip_vit_forward_golden`)."""
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    tr = _ref_module("ref_oc", REF, "transformer")
+    torch.manual_seed(seed)
+    ref = tr.VisionTransformer(
+        image_size=32, patch_size=8, width=64, layers=2, heads=2, mlp_ratio=4.0,
+        ls_init_value=None, global_average_pool=False, attentional_pool=False,
+        n_queries=0, attn_pooler_heads=1, output_dim=48,
+        patch_dropout=0.0, input_patchnorm=False,
+        act_layer=torch.nn.GELU, norm_layer=partial(torch.nn.LayerNorm, eps=1e-5),
+        output_tokens=False,
+    ).eval()
+    cfg = CLIPConfig(
+        embed_dim=48,
+        vision=VisionConfig(
+            image_size=32, layers=2, width=64, head_width=32, patch_size=8,
+            mlp_ratio=4.0, ln_eps=1e-5,
+        ),
+        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
+        name="tiny-oc-roi-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+    return ref, model, params
+
+
+_ROI_BOXES = np.asarray(
+    [
+        [[0.1, 0.1, 0.6, 0.7], [0.0, 0.0, 1.0, 1.0], [0.4, 0.2, 0.9, 0.55]],
+        [[0.0, 0.5, 0.5, 1.0], [0.25, 0.25, 0.75, 0.75], [0.05, 0.6, 0.95, 0.8]],
+    ],
+    np.float32,
+)
+
+
+def test_openclip_roi_features_v2_golden():
+    """extract_type='v2' on the plain OpenCLIP ViT (`transformer.py:685-722`):
+    trunk w/ value-path last block -> normalized dense map -> 1x1 aligned
+    roi_align against the feature-map-denormalized boxes."""
+    import jax.numpy as jnp
+
+    ref, model, params = _openclip_pair()
+    rng = np.random.default_rng(21)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.extract_roi_features(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(b) for b in _ROI_BOXES],
+            extract_type="v2",
+        ).numpy()
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(_ROI_BOXES), False, "v2",
+        method="encode_pseudo_boxes",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1, 48), want, atol=2e-4, rtol=1e-3
+    )
+
+
+def test_openclip_roi_features_v3_golden():
+    """extract_type='v3' (`transformer.py:670-683`): ONE trunk pass yields
+    both the v1 mask-attention-pooled features and the v2 RoI-aligned dense
+    features."""
+    import jax.numpy as jnp
+
+    ref, model, params = _openclip_pair()
+    rng = np.random.default_rng(22)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    # cell-aligned boxes: the v1 mask construction floors box corners
+    boxes = np.asarray(
+        [
+            [[0.0, 0.0, 0.5, 0.5], [0.25, 0.25, 1.0, 1.0], [0.5, 0.0, 1.0, 0.5]],
+            [[0.0, 0.5, 0.5, 1.0], [0.0, 0.0, 1.0, 1.0], [0.25, 0.0, 0.75, 1.0]],
+        ],
+        np.float32,
+    )
+    with torch.no_grad():
+        # the reference dispatcher has the v3 branch commented out
+        # (`transformer.py:521-523`); the implementation itself lives at
+        # `transformer.py:670-683`
+        want_v1, want_v2 = ref._extract_roi_features_v3(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(b) for b in boxes],
+        )
+    got_v1, got_v2 = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(boxes),
+        method=lambda m, i, b: m.visual._extract_roi_features_v3(i, b),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_v1).reshape(-1, 48), want_v1.numpy(), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_v2).reshape(-1, 48), want_v2.numpy(), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_openclip_rois_and_image_golden():
+    """`encode_rois_and_image` on the plain OpenCLIP ViT
+    (`transformer.py:836-881`): shared trunk pass -> (normalized roi feats,
+    post_attention CLS image embedding)."""
+    import jax.numpy as jnp
+
+    ref, model, params = _openclip_pair()
+    rng = np.random.default_rng(23)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want_rois, want_img = ref.encode_rois_and_image(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(b) for b in _ROI_BOXES],
+        )
+    got_rois, got_img = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(_ROI_BOXES),
+        method="encode_rois_and_image",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_img), want_img.numpy(), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_rois).reshape(-1, 48), want_rois.numpy(), atol=2e-4, rtol=1e-3
+    )
+
+
+def _rn_pair(seed=2):
+    """Tiny reference `ModifiedResNet` + our imported twin (same recipe as
+    `test_modified_resnet_forward_golden`)."""
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    if "open_clip" not in sys.modules:
+        oc = types.ModuleType("open_clip")
+        oc.__path__ = []
+        utils = types.ModuleType("open_clip.utils")
+        utils.freeze_batch_norm_2d = lambda m, *a, **k: None
+        oc.utils = utils
+        sys.modules["open_clip"] = oc
+        sys.modules["open_clip.utils"] = utils
+    mr = _ref_module("ref_mrn", REF, "modified_resnet")
+    torch.manual_seed(seed)
+    width, embed = 8, 48
+    ref = mr.ModifiedResNet(
+        layers=(1, 1, 1, 1), output_dim=embed, heads=width * 32 // 64,
+        image_size=64, width=width,
+    ).eval()
+    with torch.no_grad():
+        for name, buf in ref.named_buffers():
+            if "running_mean" in name:
+                buf.normal_(0.0, 0.2)
+            elif "running_var" in name:
+                buf.uniform_(0.5, 1.5)
+    cfg = CLIPConfig(
+        embed_dim=embed,
+        vision=VisionConfig(
+            image_size=64, layers=4, width=width, head_width=64, patch_size=32,
+            resnet_layers=(1, 1, 1, 1),
+        ),
+        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
+        name="tiny-rn-roi-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+    return ref, model, params
+
+
+def test_modified_resnet_roi_v1_golden():
+    """RN extract_type='v1' (`modified_resnet.py:311-332`): NxN aligned
+    roi_align on the stage-4 map, each roi then attention-pooled."""
+    import jax.numpy as jnp
+
+    ref, model, params = _rn_pair()
+    rng = np.random.default_rng(24)
+    img = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.extract_roi_features(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(b) for b in _ROI_BOXES],
+            extract_type="v1",
+        ).numpy()
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(_ROI_BOXES), False, "v1",
+        method="encode_pseudo_boxes",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1, 48), want, atol=5e-4, rtol=1e-3
+    )
+
+
+def test_modified_resnet_roi_v2_golden():
+    """RN extract_type='v2' (`modified_resnet.py:364-377`): attnpool dense
+    map -> channel-normalize -> 1x1 aligned roi_align."""
+    import jax.numpy as jnp
+
+    ref, model, params = _rn_pair()
+    rng = np.random.default_rng(25)
+    img = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.extract_roi_features(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(b) for b in _ROI_BOXES],
+            extract_type="v2",
+        ).numpy()
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(_ROI_BOXES), False, "v2",
+        method="encode_pseudo_boxes",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1, 48), want, atol=5e-4, rtol=1e-3
     )
