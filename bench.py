@@ -48,6 +48,11 @@ def main():
     max_boxes = int(os.environ.get("BENCH_MAX_BOXES", "20"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    # BENCH_MULTISCALE=1 benches the reference's --multiscale recipe
+    # (`clipself.py:17-27`: each step trains at a random size from
+    # {320,640,896,1024}); we cycle the sizes deterministically, which has
+    # the same expected cost as the uniform draw. One compiled step per size.
+    multiscale = os.environ.get("BENCH_MULTISCALE", "0") == "1"
 
     cfg = get_model_config("EVA02-CLIP-B-16")
     model, params = create_model(cfg, dtype=jnp.bfloat16, remat=remat)
@@ -65,36 +70,55 @@ def main():
     b, m = batch_size, max_boxes
     lo = rng.uniform(0, 0.5, size=(b, m, 2)).astype(np.float32)
     hi = np.clip(lo + rng.uniform(0.05, 0.5, size=(b, m, 2)), 0, 1).astype(np.float32)
+    boxes = jax.device_put(np.concatenate([lo, hi, np.ones((b, m, 1), np.float32)], -1))
+    crops = jax.device_put(
+        rng.standard_normal((b, m, crop_size, crop_size, 3), dtype=np.float32)
+    )
+
+    if multiscale:
+        from clipself_tpu.train.methods import multiscale_sizes
+
+        sizes = multiscale_sizes(image_size)
+        steps -= steps % len(sizes)  # equal coverage of every size
+    else:
+        sizes = (image_size,)
     # NOTE: float32 numpy -> device_put is a pure buffer transfer; the model
     # casts to bf16 on device (big f64 constants would blow the compile RPC).
-    batch = {
-        "images": jax.device_put(
-            rng.standard_normal((b, image_size, image_size, 3), dtype=np.float32)
-        ),
-        "boxes": jax.device_put(np.concatenate([lo, hi, np.ones((b, m, 1), np.float32)], -1)),
-        "crops": jax.device_put(
-            rng.standard_normal((b, m, crop_size, crop_size, 3), dtype=np.float32)
-        ),
-    }
+    batches = [
+        {
+            "images": jax.device_put(
+                rng.standard_normal((b, s, s, 3), dtype=np.float32)
+            ),
+            "boxes": boxes,
+            "crops": crops,
+        }
+        for s in sizes
+    ]
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
-    state, metrics = step(state, teacher, batch, key)
-    print("warmup loss:", float(metrics["loss"]), file=sys.stderr)
-    state, metrics = step(state, teacher, batch, key)
+    # warmup / compile (each size is its own compiled step)
+    for batch in batches:
+        state, metrics = step(state, teacher, batch, key)
+        print(f"warmup loss @{batch['images'].shape[1]}:",
+              float(metrics["loss"]), file=sys.stderr)
+    state, metrics = step(state, teacher, batches[0], key)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step(state, teacher, batch, key)
+    for i in range(steps):
+        state, metrics = step(state, teacher, batches[i % len(batches)], key)
     # fetching the value forces the full chain to complete
     final_loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
 
     imgs_per_sec = batch_size * steps / dt
+    tag = (
+        f"multiscale {'/'.join(str(s) for s in sizes)}px"
+        if multiscale else f"{image_size}px"
+    )
     result = {
-        "metric": "images/sec/chip, EVA02-B/16 CLIPSelf distill step (1024px, 20 crops)",
+        "metric": f"images/sec/chip, EVA02-B/16 CLIPSelf distill step ({tag}, 20 crops)",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / BASELINE_PER_CHIP, 4),

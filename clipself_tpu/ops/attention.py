@@ -172,8 +172,14 @@ def _bundled_fwd(q, k, v, segf, scale, block, save_residuals):
 def _flash_fused_fwd(q, k, v, segf, scale, block):
     # the residual-saving forward carries two extra f32 stats outputs whose
     # lane-padded VMEM blocks overflow the 16MB scoped budget at 1536 tiles;
-    # cap the TRAINING forward at 768 (the inference primal keeps the big tile)
-    out, l, m = _bundled_fwd(q, k, v, segf, scale, min(block, 768), save_residuals=True)
+    # cap the TRAINING forward at 768 (the inference primal keeps the big
+    # tile). The cap must still divide the sequence: e.g. n=2048 divides by
+    # a 1024 tile but not 768, so step down to the largest fitting divisor.
+    npad = q.shape[2]
+    cap = block
+    if cap > 768:
+        cap = next(b for b in (768, 512, 256, 128) if npad % b == 0)
+    out, l, m = _bundled_fwd(q, k, v, segf, scale, cap, save_residuals=True)
     return out, (q, k, v, segf, out, l, m)
 
 

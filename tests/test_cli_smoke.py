@@ -147,3 +147,28 @@ def test_detector_dataset_preset_guard():
 
     with pytest.raises(SystemExit, match="1203"):
         det_main(["--preset", "ov_lvis_vitb16", "--dataset", "coco", "--synthetic"])
+
+
+def test_synthetic_multiscale_smoke(tmp_path):
+    """--multiscale (reference `clipself.py:17-27`): each step trains at a
+    random size from the ladder; every size is its own compiled step."""
+    logs = str(tmp_path / "logs")
+    main(
+        [
+            "--model", "EVA02-CLIP-Tiny-Test",
+            "--synthetic",
+            "--multiscale",
+            "--steps-per-epoch", "4",
+            "--epochs", "1",
+            "--det-image-size", "64",
+            "--batch-size", "8",
+            "--max-boxes", "4",
+            "--warmup", "1",
+            "--zeroshot-frequency", "0",
+            "--precision", "fp32",
+            "--lock-image-unlocked-groups", "2",
+            "--name", "ms",
+            "--logs", logs,
+        ]
+    )
+    assert os.path.exists(os.path.join(logs, "ms", "checkpoints"))
