@@ -52,16 +52,13 @@ def test_synthetic_resume(tmp_path):
     main(common + ["--epochs", "2", "--name", "r2", "--resume", ckpt_dir])
 
 
-def test_coco_micro_subset_end_to_end(tmp_path):
-    """BASELINE.json config #1: CLIPSelf image-patch distill on a COCO-format
-    micro-subset, CPU-runnable, through the REAL file-based pipeline — train
-    JSON + images, panoptic val JSON + segment PNGs, text-embedding classifier,
-    eval-before-train and post-epoch zero-shot eval, checkpoint + results."""
+def _write_micro_coco(root):
+    """Tiny on-disk COCO-format corpus: train instances JSON + images,
+    panoptic val JSON + segment PNGs, and a classifier embedding matrix."""
     import json as _json
 
     from PIL import Image
 
-    root = tmp_path
     img_dir = root / "images"
     seg_dir = root / "segm"
     img_dir.mkdir()
@@ -101,7 +98,16 @@ def test_coco_micro_subset_end_to_end(tmp_path):
         _json.dump({"images": images, "annotations": pan_annotations, "categories": cats}, f)
     emb = rng.normal(size=(2, 64)).astype(np.float32)  # tiny model embed_dim
     np.save(root / "emb.npy", emb)
+    return img_dir, seg_dir
 
+
+def test_coco_micro_subset_end_to_end(tmp_path):
+    """BASELINE.json config #1: CLIPSelf image-patch distill on a COCO-format
+    micro-subset, CPU-runnable, through the REAL file-based pipeline — train
+    JSON + images, panoptic val JSON + segment PNGs, text-embedding classifier,
+    eval-before-train and post-epoch zero-shot eval, checkpoint + results."""
+    root = tmp_path
+    img_dir, seg_dir = _write_micro_coco(root)
     logs = str(root / "logs")
     main(
         [
@@ -172,3 +178,32 @@ def test_synthetic_multiscale_smoke(tmp_path):
         ]
     )
     assert os.path.exists(os.path.join(logs, "ms", "checkpoints"))
+
+
+def test_eval_only_mode(tmp_path):
+    """No --train-data => single zero-shot evaluation and exit (reference
+    `main.py:265-268`, used by `scripts/test_eva_vit*_macc_boxes_masks.sh`)."""
+    root = tmp_path
+    img_dir, seg_dir = _write_micro_coco(root)
+    logs = str(root / "logs")
+    main(
+        [
+            "--model", "EVA02-CLIP-Tiny-Test",
+            "--val-data", str(root / "panoptic.json"),
+            "--val-image-root", str(img_dir),
+            "--val-segm-root", str(seg_dir),
+            "--embed-path", str(root / "emb.npy"),
+            "--det-image-size", "64",
+            "--max-boxes", "4",
+            "--zeroshot-frequency", "1",
+            "--precision", "fp32",
+            "--workers", "0",
+            "--name", "evalonly",
+            "--logs", logs,
+        ]
+    )
+    results = os.path.join(logs, "evalonly", "results.jsonl")
+    assert os.path.exists(results)
+    lines = [json.loads(l) for l in open(results)]
+    assert len(lines) == 1  # exactly one eval, no training
+    assert any("rois" in k for k in lines[0])
