@@ -54,7 +54,10 @@ def main():
     # the same expected cost as the uniform draw. One compiled step per size.
     multiscale = os.environ.get("BENCH_MULTISCALE", "0") == "1"
 
-    cfg = get_model_config("EVA02-CLIP-B-16")
+    # BENCH_MODEL=EVA02-CLIP-L-14-336 BENCH_IMAGE_SIZE=896 BENCH_CROP_SIZE=336
+    # benches the L/14 recipe (reference train_*_eva_vitl14.sh shapes)
+    model_name = os.environ.get("BENCH_MODEL", "EVA02-CLIP-B-16")
+    cfg = get_model_config(model_name)
     model, params = create_model(cfg, dtype=jnp.bfloat16, remat=remat)
     teacher = jax.tree.map(jnp.copy, params)  # true copies: the step donates state.params, which must not alias the teacher
 
@@ -118,7 +121,7 @@ def main():
         if multiscale else f"{image_size}px"
     )
     result = {
-        "metric": f"images/sec/chip, EVA02-B/16 CLIPSelf distill step ({tag}, 20 crops)",
+        "metric": f"images/sec/chip, {model_name} CLIPSelf distill step ({tag}, {max_boxes} crops)",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / BASELINE_PER_CHIP, 4),

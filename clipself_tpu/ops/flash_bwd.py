@@ -134,10 +134,12 @@ def flash_attention_bwd(
     Returns (dq, dk, dv) in q.dtype.
     """
     b, h, n, d = q.shape
-    if b > 2 and block_k > 768:
-        # at per-chip batch >= 4 the XLA pipeliner's scoped-VMEM accounting
-        # for this kernel exceeds the 16MB budget with 1536 kv blocks
-        # (measured in the full distill graph); 768 fits at every batch
+    if b * h > 24 and block_k > 768:
+        # the XLA pipeliner's scoped-VMEM accounting for this kernel exceeds
+        # the 16MB budget with 1536 kv blocks once the batch*heads grid grows
+        # past the B/16 recipe's 2x12 (measured in the full distill graph at
+        # per-chip batch 4 x 12 heads, and at batch 2 x 16 heads for L/14);
+        # 768 fits every measured case
         block_k = 768
     if n % block_q or n % block_k:
         for cand in (768, 512, 256, 128):
