@@ -159,6 +159,26 @@ def _install_stubs():
         ftfy = _mod("ftfy")
         ftfy.fix_text = lambda s: s
         sys.modules["ftfy"] = ftfy
+    if "xformers" not in sys.modules:
+        xf = _mod("xformers")
+        xops = _mod("xformers.ops")
+
+        def memory_efficient_attention(q, k, v, p=0.0, scale=None, attn_bias=None):
+            """Naive reference semantics of xformers' kernel for the
+            [B, N, H, D] layout the reference passes (`eva_vit_model.py:206-220`):
+            softmax((q*scale) @ k^T + bias) @ v per head."""
+            assert p == 0.0 and attn_bias is None
+            import math
+
+            s = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+            qh, kh, vh = (t.permute(0, 2, 1, 3) for t in (q, k, v))
+            logits = (qh * s) @ kh.transpose(-2, -1)
+            return logits.softmax(-1).matmul(vh).permute(0, 2, 1, 3)
+
+        xops.memory_efficient_attention = memory_efficient_attention
+        xf.ops = xops
+        sys.modules["xformers"] = xf
+        sys.modules["xformers.ops"] = xops
 
 
 def _load_ref_pkg(pkg_name: str, root: str):
@@ -956,4 +976,48 @@ def test_modified_resnet_roi_v2_golden():
     )
     np.testing.assert_allclose(
         np.asarray(got).reshape(-1, 48), want, atol=5e-4, rtol=1e-3
+    )
+
+
+def test_eva_xattn_forward_golden():
+    """The SHIPPED configs set xattn=true (`model_configs/EVA02-CLIP-B-16.json`),
+    so the reference runs the xformers memory-efficient-attention branch
+    (`eva_vit_model.py:206-220`), not the matmul branch the other goldens
+    exercise. With a naive xformers stub, pin our (branchless) tower against
+    that exact code path: forward + encode_dense."""
+    import jax.numpy as jnp
+
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    ev = _ref_module("ref_eva", f"{REF}/eva_clip", "eva_vit_model")
+    torch.manual_seed(0)
+    ref = ev.EVAVisionTransformer(
+        img_size=TINY["img_size"], patch_size=TINY["patch_size"],
+        num_classes=TINY["embed"], use_mean_pooling=False, init_values=None,
+        patch_dropout=0.0, embed_dim=TINY["width"], depth=TINY["depth"],
+        num_heads=TINY["heads"], mlp_ratio=2.6667, qkv_bias=True,
+        drop_path_rate=0.0, norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+        xattn=True, rope=True, postnorm=False, pt_hw_seq_len=16,
+        intp_freq=True, naiveswiglu=True, subln=True,
+    ).eval()
+    cfg, model, params = _our_eva()
+    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+
+    rng = np.random.default_rng(31)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img).permute(0, 3, 1, 2), return_all_features=False)
+        want_dense = ref.encode_dense(
+            torch.from_numpy(img).permute(0, 3, 1, 2), keep_shape=True
+        )
+    got = model.apply({"params": params}, jnp.asarray(img), method="encode_image")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4, rtol=1e-3)
+    got_dense = model.apply(
+        {"params": params}, jnp.asarray(img), False, True, method="encode_dense"
+    )
+    # ref keep_shape: [B, C, H, W]; ours: [B, H, W, C]
+    np.testing.assert_allclose(
+        np.asarray(got_dense), want_dense.permute(0, 2, 3, 1).numpy(),
+        atol=2e-4, rtol=1e-3,
     )
