@@ -57,26 +57,50 @@ def main():
     # BENCH_MODEL=EVA02-CLIP-L-14-336 BENCH_IMAGE_SIZE=896 BENCH_CROP_SIZE=336
     # benches the L/14 recipe (reference train_*_eva_vitl14.sh shapes)
     model_name = os.environ.get("BENCH_MODEL", "EVA02-CLIP-B-16")
+    # BENCH_METHOD=region_clip benches the RegionCLIP recipe (no teacher
+    # crops; box features vs fixed noun embeddings, federated BCE)
+    method = os.environ.get("BENCH_METHOD", "clipself")
     cfg = get_model_config(model_name)
     model, params = create_model(cfg, dtype=jnp.bfloat16, remat=remat)
     teacher = jax.tree.map(jnp.copy, params)  # true copies: the step donates state.params, which must not alias the teacher
+
+    if method == "region_clip":
+        import functools
+
+        from clipself_tpu.train.methods import regionclip_loss
+
+        nouns = np.random.default_rng(1).standard_normal((4764, cfg.embed_dim))
+        nouns /= np.linalg.norm(nouns, axis=-1, keepdims=True)
+        loss_fn = functools.partial(
+            regionclip_loss, noun_embeddings=jnp.asarray(nouns, jnp.float32)
+        )
+    else:
+        loss_fn = clipself_loss
 
     sched = make_schedule("cosine", 1e-5, warmup=100, total_steps=10000)
     tx = build_optimizer(
         params, sched, wd=0.1,
         unlocked_groups=cfg.vision.layers, num_layers=cfg.vision.layers,
     )
-    step = make_train_step(model, tx, clipself_loss, mesh=None)
+    step = make_train_step(model, tx, loss_fn, mesh=None)
     state = TrainState.create(params, tx)
 
     rng = np.random.default_rng(0)
     b, m = batch_size, max_boxes
     lo = rng.uniform(0, 0.5, size=(b, m, 2)).astype(np.float32)
     hi = np.clip(lo + rng.uniform(0.05, 0.5, size=(b, m, 2)), 0, 1).astype(np.float32)
-    boxes = jax.device_put(np.concatenate([lo, hi, np.ones((b, m, 1), np.float32)], -1))
-    crops = jax.device_put(
-        rng.standard_normal((b, m, crop_size, crop_size, 3), dtype=np.float32)
-    )
+    if method == "region_clip":
+        # [xyxy, class label, valid] — no teacher crops in this recipe
+        cls = rng.integers(0, 4764, size=(b, m, 1)).astype(np.float32)
+        boxes = jax.device_put(
+            np.concatenate([lo, hi, cls, np.ones((b, m, 1), np.float32)], -1)
+        )
+        crops = None
+    else:
+        boxes = jax.device_put(np.concatenate([lo, hi, np.ones((b, m, 1), np.float32)], -1))
+        crops = jax.device_put(
+            rng.standard_normal((b, m, crop_size, crop_size, 3), dtype=np.float32)
+        )
 
     if multiscale:
         from clipself_tpu.train.methods import multiscale_sizes
@@ -93,7 +117,7 @@ def main():
                 rng.standard_normal((b, s, s, 3), dtype=np.float32)
             ),
             "boxes": boxes,
-            "crops": crops,
+            **({"crops": crops} if crops is not None else {}),
         }
         for s in sizes
     ]
@@ -121,7 +145,11 @@ def main():
         if multiscale else f"{image_size}px"
     )
     result = {
-        "metric": f"images/sec/chip, {model_name} CLIPSelf distill step ({tag}, {max_boxes} crops)",
+        "metric": (
+            f"images/sec/chip, {model_name} RegionCLIP step ({tag}, {max_boxes} boxes)"
+            if method == "region_clip"
+            else f"images/sec/chip, {model_name} CLIPSelf distill step ({tag}, {max_boxes} crops)"
+        ),
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / BASELINE_PER_CHIP, 4),
