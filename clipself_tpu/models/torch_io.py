@@ -243,6 +243,95 @@ def resize_pos_embed_np(pe: np.ndarray, tgt_tokens: int) -> np.ndarray:
     return np.concatenate([cls_pe, grid.reshape(1, tgt * tgt, -1)], axis=1)
 
 
+def _cubic_spline_1d(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.ndarray:
+    """Natural cubic spline through knots (x, y[n, m]) evaluated at xq[k].
+
+    Small dense solve — only used at checkpoint-load time.
+    """
+    n = len(x)
+    h = np.diff(x)
+    # second derivatives via the natural-spline tridiagonal system
+    a = np.zeros((n, n))
+    b = np.zeros((n, y.shape[1]))
+    a[0, 0] = a[-1, -1] = 1.0
+    for i in range(1, n - 1):
+        a[i, i - 1] = h[i - 1]
+        a[i, i] = 2.0 * (h[i - 1] + h[i])
+        a[i, i + 1] = h[i]
+        b[i] = 6.0 * ((y[i + 1] - y[i]) / h[i] - (y[i] - y[i - 1]) / h[i - 1])
+    m = np.linalg.solve(a, b)  # [n, M]
+    idx = np.clip(np.searchsorted(x, xq) - 1, 0, n - 2)
+    x0, x1 = x[idx], x[idx + 1]
+    hh = (x1 - x0)[:, None]
+    t0 = (x1 - xq)[:, None]
+    t1 = (xq - x0)[:, None]
+    return (
+        m[idx] * t0 ** 3 / (6 * hh)
+        + m[idx + 1] * t1 ** 3 / (6 * hh)
+        + (y[idx] / hh - m[idx] * hh / 6) * t0
+        + (y[idx + 1] / hh - m[idx + 1] * hh / 6) * t1
+    )
+
+
+def _geometric_coords(size: int) -> np.ndarray:
+    """BEiT rel-pos resize source coordinates: geometrically spaced from the
+    center so the resized table keeps resolution near zero relative distance
+    (reference `resize_rel_pos_embed`, `eva_clip/utils.py:139-204` — which is
+    dead code upstream: it calls the nonexistent `F.interpolate.interp2d`;
+    this is a working re-derivation of the BEiT original)."""
+    # binary-search ratio q so sum of the geometric progression spans size//2
+    left, right = 1.01, 1.5
+    while right - left > 1e-6:
+        q = (left + right) / 2.0
+        gp = (1.0 - q ** (size // 2)) / (1.0 - q)
+        if gp > size // 2:
+            right = q
+        else:
+            left = q
+    dis, cur = [], 1.0
+    for i in range(size // 2):
+        dis.append(cur)
+        cur += q ** (i + 1)
+    r_ids = [-v for v in reversed(dis)]
+    return np.asarray(r_ids + [0] + dis, np.float64)
+
+
+def resize_rel_pos_table_np(table: np.ndarray, dst_num_pos: int) -> np.ndarray:
+    """Resize a [(2S-1)^2 + E, H] relative-position-bias table to a new
+    window size ((2D-1)^2 + E rows): geometric source coordinates + separable
+    natural-cubic-spline interpolation onto the integer target grid. The E
+    extra rows (cls-to-token / token-to-cls / cls-to-cls) pass through."""
+    src_num_pos, heads = table.shape
+    if src_num_pos == dst_num_pos:
+        return table
+
+    def split(num):
+        for extra in (3, 0):  # EVA uses 3 extra tokens; plain BEiT none
+            size = int(round((num - extra) ** 0.5))
+            if size * size == num - extra and size % 2 == 1:
+                return size, extra
+        raise ValueError(f"cannot infer rel-pos grid from {num} rows")
+
+    src_size, extra = split(src_num_pos)
+    dst_size, extra_d = split(dst_num_pos)
+    if extra != extra_d:
+        raise ValueError("rel-pos extra-token count mismatch")
+    extra_rows = table[src_size * src_size:]
+    core = table[: src_size * src_size].astype(np.float64).reshape(src_size, src_size, heads)
+
+    x = _geometric_coords(src_size)
+    t = dst_size // 2.0
+    dx = np.arange(-t, t + 0.1, 1.0)
+    # separable: rows then columns
+    core = _cubic_spline_1d(x, core.reshape(src_size, -1), dx)
+    core = core.reshape(dst_size, src_size, heads).transpose(1, 0, 2)
+    core = _cubic_spline_1d(x, core.reshape(src_size, -1), dx)
+    core = core.reshape(dst_size, dst_size, heads).transpose(1, 0, 2)
+    return np.concatenate(
+        [core.reshape(dst_size * dst_size, heads), extra_rows], axis=0
+    ).astype(np.float32)
+
+
 def import_state_dict(sd: dict, params: Any, cfg: CLIPConfig, strict: bool = False) -> Any:
     """Fill a Flax param pytree from a (numpy-valued) torch state dict.
 
@@ -283,6 +372,11 @@ def import_state_dict(sd: dict, params: Any, cfg: CLIPConfig, strict: bool = Fal
             arr = resize_pos_embed_np(arr, init_val.shape[1])
         elif tkey == "visual.positional_embedding":
             arr = resize_pos_embed_np(arr[None], init_val.shape[0])[0]
+        elif (
+            "relative_position_bias_table" in tkey
+            and arr.shape[0] != init_val.shape[0]
+        ):
+            arr = resize_rel_pos_table_np(arr, init_val.shape[0])
         if arr.shape != tuple(init_val.shape):
             raise ValueError(f"shape mismatch for {tkey}: ckpt {arr.shape} vs model {init_val.shape}")
         new_flat[path] = arr
