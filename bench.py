@@ -106,7 +106,9 @@ def main():
         from clipself_tpu.train.methods import multiscale_sizes
 
         sizes = multiscale_sizes(image_size)
-        steps -= steps % len(sizes)  # equal coverage of every size
+        # round UP to a multiple of the ladder: equal coverage of every size,
+        # and a too-small BENCH_STEPS can never zero the timed loop
+        steps += (-steps) % len(sizes)
     else:
         sizes = (image_size,)
     # NOTE: float32 numpy -> device_put is a pure buffer transfer; the model

@@ -120,7 +120,8 @@ class HFTextTower(nn.Module):
             attention_mask = (input_ids != (0 if pad_id is None else pad_id)).astype(jnp.int32)
         kwargs = {}
         if getattr(self.hf_config, "model_type", None) in self._PAD_OFFSET_POSITIONS:
-            pad_id = self.hf_config.pad_token_id
+            pad_id = getattr(self.hf_config, "pad_token_id", None)
+            pad_id = 0 if pad_id is None else pad_id
             pad_mask = (input_ids != pad_id).astype(jnp.int32)
             kwargs["position_ids"] = jnp.cumsum(pad_mask, axis=1) * pad_mask + pad_id
         out = self.trunk(input_ids=input_ids, attention_mask=attention_mask, **kwargs)

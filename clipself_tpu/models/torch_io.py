@@ -273,23 +273,25 @@ def _cubic_spline_1d(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.ndarray
     )
 
 
-def _geometric_coords(size: int) -> np.ndarray:
-    """BEiT rel-pos resize source coordinates: geometrically spaced from the
-    center so the resized table keeps resolution near zero relative distance
-    (reference `resize_rel_pos_embed`, `eva_clip/utils.py:139-204` — which is
-    dead code upstream: it calls the nonexistent `F.interpolate.interp2d`;
-    this is a working re-derivation of the BEiT original)."""
-    # binary-search ratio q so sum of the geometric progression spans size//2
+def _geometric_coords(src_size: int, dst_size: int) -> np.ndarray:
+    """BEiT rel-pos resize source coordinates: the src_size//2 knots are
+    geometrically spaced so they SPAN the destination half-width (dense near
+    zero relative distance, stretched at the edges) — the target integer
+    grid then always interpolates, never extrapolates (reference
+    `resize_rel_pos_embed`, `eva_clip/utils.py:139-204` — dead code upstream:
+    it calls the nonexistent `F.interpolate.interp2d`; this is a working
+    re-derivation of the BEiT original)."""
+    # binary-search ratio q: src_size//2 geometric terms sum to dst_size//2
     left, right = 1.01, 1.5
     while right - left > 1e-6:
         q = (left + right) / 2.0
-        gp = (1.0 - q ** (size // 2)) / (1.0 - q)
-        if gp > size // 2:
+        gp = (1.0 - q ** (src_size // 2)) / (1.0 - q)
+        if gp > dst_size // 2:
             right = q
         else:
             left = q
     dis, cur = [], 1.0
-    for i in range(size // 2):
+    for i in range(src_size // 2):
         dis.append(cur)
         cur += q ** (i + 1)
     r_ids = [-v for v in reversed(dis)]
@@ -319,7 +321,7 @@ def resize_rel_pos_table_np(table: np.ndarray, dst_num_pos: int) -> np.ndarray:
     extra_rows = table[src_size * src_size:]
     core = table[: src_size * src_size].astype(np.float64).reshape(src_size, src_size, heads)
 
-    x = _geometric_coords(src_size)
+    x = _geometric_coords(src_size, dst_size)
     t = dst_size // 2.0
     dx = np.arange(-t, t + 0.1, 1.0)
     # separable: rows then columns

@@ -48,9 +48,11 @@ def _flash_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def flash_block_size(n: int) -> int:
-    """Largest supported block size dividing n (0 if none)."""
+def flash_block_size(n: int, cap: int = 1024) -> int:
+    """Largest supported block size <= cap dividing n (0 if none)."""
     for b in (1024, 768, 512, 256, 128):
+        if b > cap:
+            continue
         if n % b == 0:
             return b
     return 0
@@ -176,9 +178,7 @@ def _flash_fused_fwd(q, k, v, segf, scale, block):
     # tile). The cap must still divide the sequence: e.g. n=2048 divides by
     # a 1024 tile but not 768, so step down to the largest fitting divisor.
     npad = q.shape[2]
-    cap = block
-    if cap > 768:
-        cap = next(b for b in (768, 512, 256, 128) if npad % b == 0)
+    cap = block if block <= 768 else flash_block_size(npad, cap=768)
     out, l, m = _bundled_fwd(q, k, v, segf, scale, cap, save_residuals=True)
     return out, (q, k, v, segf, out, l, m)
 

@@ -142,12 +142,12 @@ def flash_attention_bwd(
         # 768 fits every measured case
         block_k = 768
     if n % block_q or n % block_k:
-        for cand in (768, 512, 256, 128):
-            if n % cand == 0:
-                block_q = block_k = cand
-                break
-        else:
+        from clipself_tpu.ops.attention import flash_block_size
+
+        cand = flash_block_size(n, cap=768)
+        if not cand:
             raise ValueError(f"seq {n} not blockable")
+        block_q = block_k = cand
     f32 = jnp.float32
     di = jnp.sum(o.astype(f32) * do.astype(f32), axis=-1)  # [B, H, N]
     stats_spec = pl.BlockSpec(

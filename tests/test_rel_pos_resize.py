@@ -22,12 +22,16 @@ def test_identity_passthrough():
 
 
 def test_geometric_coords_span_and_symmetry():
-    for size in (7, 13, 27):
-        x = _geometric_coords(size)
-        assert len(x) == 2 * (size // 2) + 1
+    # only upsizing: equal sizes take the identity path before coords are
+    # built, and the bisection's 1.01 ratio floor can't express q -> 1
+    for src, dst in ((7, 9), (13, 17), (13, 27), (27, 31)):
+        x = _geometric_coords(src, dst)
+        assert len(x) == 2 * (src // 2) + 1
         np.testing.assert_allclose(x, -x[::-1], atol=1e-9)  # symmetric
-        # the geometric span reaches ~dst half-width by construction
-        assert x[-1] >= size // 2 - 1
+        # the src//2 geometric terms sum to the DESTINATION half-width
+        # (reference `eva_clip/utils.py:164-171`): the target integer grid
+        # [-dst//2, dst//2] always interpolates, never extrapolates
+        np.testing.assert_allclose(x[-1], dst // 2, atol=1e-4)
 
 
 def test_cubic_spline_matches_scipy_natural():
