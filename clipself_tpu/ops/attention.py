@@ -218,13 +218,19 @@ def multi_head_attention(
         avoiding per-layer q/k/v copies). Padding rows must be 0.
     """
     n = q.shape[1]
+    # the flash path derives padding and segment rows from q's length and
+    # applies them to k/v — self-attention only; cross-attention (CoCa
+    # pooler-style Nq != Nk) takes the XLA path
+    self_attn = k.shape[1] == n
     if impl == "auto":
-        use_flash = mask is None and n >= _FLASH_MIN_SEQ and _flash_available()
+        use_flash = (
+            mask is None and self_attn and n >= _FLASH_MIN_SEQ and _flash_available()
+        )
     else:
         # an additive mask cannot be expressed to the flash kernel; a forced
         # 'flash' with a mask silently computing unmasked attention would be
         # a correctness trap — fall back to the masked XLA path
-        use_flash = impl == "flash" and mask is None
+        use_flash = impl == "flash" and mask is None and self_attn
     if use_flash:
         qt = jnp.swapaxes(q, 1, 2)  # [B, H, N, D]
         kt = jnp.swapaxes(k, 1, 2)

@@ -26,7 +26,11 @@ def _chunk(q, k, v, scale, m, num, den):
 
     q: [B, Q, H, D]; k/v: [B, C, H, D]; m/den: [B, H, Q]; num: [B, Q, H, D].
     """
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    # f32 accumulation on the MXU — without preferred_element_type the
+    # einsum would materialize bf16 logits before the cast (attention.py:34)
+    s = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
     m_c = s.max(-1)
     m_new = jnp.maximum(m, m_c)
     alpha = jnp.exp(m - m_new)  # rescale factor for the running sums
@@ -46,7 +50,7 @@ def _ring_local(q, k, v, scale, axis):
     # any mesh this runs under (sp alone, or sp composed with data axes)
     zeros_bhq = jnp.transpose(q[:, :, :, 0], (0, 2, 1)).astype(jnp.float32) * 0.0
     m0 = zeros_bhq - jnp.inf
-    num0 = jnp.zeros_like(q, jnp.float32) * 0.0
+    num0 = q.astype(jnp.float32) * 0.0
     den0 = zeros_bhq
     perm = [(i, (i + 1) % size) for i in range(size)]
 
@@ -59,7 +63,12 @@ def _ring_local(q, k, v, scale, axis):
         v_c = jax.lax.ppermute(v_c, axis, perm)
         return (k_c, v_c, m, num, den), None
 
-    (k, v, m, num, den), _ = jax.lax.scan(body, (k, v, m0, num0, den0), None, length=size)
+    # size-1 rotations: the last chunk runs outside the scan so the ring
+    # never pays a permute whose result nobody consumes
+    (k, v, m, num, den), _ = jax.lax.scan(
+        body, (k, v, m0, num0, den0), None, length=size - 1
+    )
+    m, num, den = _chunk(q, k, v, scale, m, num, den)
     out = num / jnp.transpose(den, (0, 2, 1))[..., None]
     return out.astype(q.dtype)
 

@@ -37,38 +37,11 @@ def _axis_weights(lo: jnp.ndarray, length: jnp.ndarray, size: int, max_samples: 
       (weights [N, size], num_samples [N]) where weights sums each sample's
       bilinear contribution (NOT yet divided by the sample count).
     """
-    # torchvision aligned=True: a degenerate roi (extent <= 0) gets ZERO
-    # samples and therefore a zero output — do not clamp the grid to 1
-    grid = jnp.ceil(length)
-    num = jnp.clip(grid, 0.0, float(max_samples))
-    i = jnp.arange(max_samples, dtype=lo.dtype)  # [S]
-    denom = jnp.maximum(grid, 1.0)  # keep positions finite when grid == 0
-    pos = lo[:, None] + (i[None, :] + 0.5) * (length / denom)[:, None]  # [N, S]
-    sample_mask = i[None, :] < num[:, None]
-
-    # torchvision bilinear_interpolate: points outside [-1, size] contribute 0
-    outside = (pos < -1.0) | (pos > float(size))
-    p = jnp.maximum(pos, 0.0)
-    p_low = jnp.floor(p)
-    # if p_low >= size - 1: snap to the last cell with zero fraction
-    at_edge = p_low >= float(size - 1)
-    p_low = jnp.where(at_edge, float(size - 1), p_low)
-    frac = jnp.where(at_edge, 0.0, p - p_low)
-    idx_low = p_low.astype(jnp.int32)
-    idx_high = jnp.minimum(idx_low + 1, size - 1)
-
-    valid = (sample_mask & ~outside).astype(lo.dtype)  # [N, S]
-    w_low = (1.0 - frac) * valid
-    w_high = frac * valid
-
-    # scatter-free accumulation: one-hot matmul onto the axis grid
-    grid_ids = jnp.arange(size, dtype=jnp.int32)  # [size]
-    onehot_low = (idx_low[..., None] == grid_ids).astype(lo.dtype)  # [N, S, size]
-    onehot_high = (idx_high[..., None] == grid_ids).astype(lo.dtype)
-    weights = jnp.einsum("ns,nsg->ng", w_low, onehot_low) + jnp.einsum(
-        "ns,nsg->ng", w_high, onehot_high
-    )
-    return weights, num
+    # exactly the single-bin case of the NxN sampler — one shared home for
+    # the delicate torchvision rules (degenerate-roi zero samples, the
+    # outside-[-1,size] zero rule, edge snapping, clamped high index)
+    w, num = _bin_axis_weights(lo, length, size, 1, max_samples)
+    return w[:, 0, :], num
 
 
 def roi_align_weights(boxes: jnp.ndarray, feat_h: int, feat_w: int) -> jnp.ndarray:
