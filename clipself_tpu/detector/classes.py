@@ -74,10 +74,13 @@ def class_weights(dataset: str, bg_weight: float) -> np.ndarray:
     return np.asarray(w + [bg_weight], np.float32)
 
 
-def base_novel_mask(dataset: str) -> np.ndarray:
+def base_novel_mask(dataset: str = None, split: dict = None) -> np.ndarray:
     """[K+1] bool — True for base (seen) classes and background (reference
     `FViTBBoxHead.__init__`, `fvit_head.py:38-44`: background is appended to
-    the seen list)."""
-    sp = coco_split() if dataset == "coco" else lvis_split()
+    the seen list). Pass `split` directly for transfer vocabularies (where
+    seen == all, so the mask is all-True)."""
+    sp = split if split is not None else (
+        coco_split() if dataset == "coco" else lvis_split()
+    )
     seen = set(sp["seen"])
     return np.asarray([n in seen for n in sp["all"]] + [True])

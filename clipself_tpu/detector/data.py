@@ -164,7 +164,9 @@ class DetectionDataset:
         }
         if masks is not None:
             ms = s // 4
-            out_masks = np.zeros((g, ms, ms), np.float32)
+            # uint8 rasters: 4x less host memory / host->device transfer
+            # than f32; the loss casts on device (`fvit.py::_mask_loss`)
+            out_masks = np.zeros((g, ms, ms), np.uint8)
             for i in range(n):
                 out_masks[i] = masks[i]
             item["gt_masks"] = out_masks
@@ -245,7 +247,9 @@ class DetectionDataset:
                 self._rasterize_mask(a, scale, (x0, y0), (ch, cw), flip=do_flip)
                 for a in kept_anns
             ]
-        return self._pad_item(arr, boxes, labels, scale, image_id, masks)
+        item = self._pad_item(arr, boxes, labels, scale, image_id, masks)
+        item["valid_hw"] = np.asarray([img.height, img.width], np.float32)
+        return item
 
     def _rasterize_mask(self, ann, scale, crop_xy, crop_hw, flip: bool = False):
         """Polygon segmentation -> stride-4 binary raster in crop coords
@@ -269,7 +273,11 @@ class DetectionDataset:
             if ys > 0 and xs > 0:
                 out[:ys, :xs] = small[oy : oy + ys, ox : ox + xs]
             if flip:
-                out[:] = out[:, ::-1]
+                # mirror about the CROP width (as the polygon/box paths do),
+                # not the full raster — they differ whenever the crop is
+                # narrower than image_size
+                cwr = min(ms, max(int(round(crop_hw[1] / 4.0)), 1))
+                out[:, :cwr] = out[:, :cwr][:, ::-1]
             return out
         if not isinstance(seg, list):
             return out
@@ -309,9 +317,13 @@ class SyntheticDetectionData:
         self.max_gt = max_gt
         self.seed = seed
         self.with_mask = with_mask
+        self._calls = 0
 
     def batch(self, batch_size: int) -> dict:
-        rng = np.random.default_rng(self.seed)
+        # fold a call counter into the seed: successive batches differ
+        # (a fixed seed would make every "epoch" the same single batch)
+        rng = np.random.default_rng((self.seed, self._calls))
+        self._calls += 1
         b, g, s = batch_size, self.max_gt, self.image_size
         xy = rng.uniform(0, s * 0.6, size=(b, g, 2)).astype(np.float32)
         wh = rng.uniform(8, s * 0.3, size=(b, g, 2)).astype(np.float32)
@@ -322,9 +334,10 @@ class SyntheticDetectionData:
             "gt_valid": rng.uniform(size=(b, g)) < 0.7,
             "scale": np.ones((b,), np.float32),
             "image_id": np.arange(b, dtype=np.int64),
+            "valid_hw": np.full((b, 2), float(s), np.float32),
         }
         if self.with_mask:
             out["gt_masks"] = (
                 rng.uniform(size=(b, g, s // 4, s // 4)) < 0.3
-            ).astype(np.float32)
+            ).astype(np.uint8)
         return out

@@ -158,6 +158,8 @@ class DetectionEvaluator:
         ap = np.zeros(t)
         for ti in range(t):
             use = ~ign[ti]
+            if not use.any():
+                continue  # every det ignored (crowd-matched): AP stays 0
             tpc = np.cumsum(tp[ti][use])
             fpc = np.cumsum(~tp[ti][use])
             rec = tpc / self._npos[c]

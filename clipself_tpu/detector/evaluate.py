@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from clipself_tpu.detector.classes import coco_split, lvis_split, transfer_split
+from clipself_tpu.detector.classes import base_novel_mask, coco_split, lvis_split, transfer_split
 from clipself_tpu.detector.config import PRESETS, FViTConfig
 from clipself_tpu.detector.data import DetectionDataset, collate
 from clipself_tpu.detector.eval_ap import DetectionEvaluator
@@ -74,10 +74,9 @@ def evaluate_detector(
 ) -> dict:
     if split is None:
         split = coco_split() if dataset_name == "coco" else lvis_split()
-    seen = set(split["seen"])
     # base/background rows fuse with alpha, novel with beta (all-True for
     # transfer vocabularies, where every class uses the base exponent)
-    bm = jnp.asarray(np.asarray([n in seen for n in split["all"]] + [True]))
+    bm = jnp.asarray(base_novel_mask(split=split))
     predict = make_predict_fn(det, clip_model, cfg, jnp.asarray(class_embed), bm)
     ev = DetectionEvaluator(cfg.num_classes, with_mask=False)
     ev_mask = DetectionEvaluator(cfg.num_classes, with_mask=True) if cfg.with_mask else None
@@ -117,10 +116,21 @@ def evaluate_detector(
                     for j2, j in enumerate(np.where(ok)[0])
                 ]
                 # mask rasters exist for the first max_gt gts; any overflow
-                # gts are marked ignore so they are neither FN nor FP
+                # gts are marked ignore so they are neither FN nor FP. Their
+                # raster is the FILLED BOX (not zeros — a zero raster could
+                # never mask-IoU-match, so a det segmenting an overflow gt
+                # would wrongly count as FP instead of being absorbed)
                 gv = item["gt_valid"]
                 n_m = int(gv.sum())
                 gt_m = [_resize_bool(m, (hs, hs)) for m in item["gt_masks"][gv]]
+
+                def _box_raster(b):
+                    r = np.zeros((hs, hs), bool)
+                    x0, y0, x1, y1 = b / mask_stride
+                    r[int(y0): int(np.ceil(y1)), int(x0): int(np.ceil(x1))] = True
+                    return r
+
+                overflow = [_box_raster(gt_boxes[i]) for i in range(n_m, len(gt_boxes))]
                 ign_m = np.concatenate(
                     [gt_ignore[:n_m], np.ones(len(gt_boxes) - n_m, bool)]
                 )
@@ -128,7 +138,7 @@ def evaluate_detector(
                     det_boxes, det_scores, det_labels,
                     gt_boxes[: len(ign_m)], gt_labels[: len(ign_m)], ign_m,
                     det_masks=det_m,
-                    gt_masks=gt_m + [np.zeros((hs, hs), bool)] * (len(ign_m) - n_m),
+                    gt_masks=gt_m + overflow,
                 )
         if (start // batch_size + 1) % log_every == 0:
             log.info(f"eval {start + real}/{n} ({(start + real) / (time.time() - t0):.1f} img/s)")
@@ -201,6 +211,13 @@ def main(argv=None):
     det = FViTDetector(cfg, dtype=jnp.bfloat16)
     det_params = load_detector(args.detector_checkpoint)
     ce = np.load(args.class_embed).astype(np.float32)
+    k = len(split["all"])
+    if ce.shape != (k + 1, cfg.embed_dim):
+        raise SystemExit(
+            f"--class-embed {args.class_embed} has shape {ce.shape}; "
+            f"preset {args.preset} needs ({k + 1}, {cfg.embed_dim}) — "
+            f"{k} classes + background"
+        )
     ce = ce / np.linalg.norm(ce, axis=-1, keepdims=True)
     ds = DetectionDataset(
         args.ann_file, args.image_root, split["all"],

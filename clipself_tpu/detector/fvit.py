@@ -106,6 +106,7 @@ class FViTDetector(nn.Module):
         class_embed,
         class_weight=None,
         gt_masks=None,
+        valid_hw=None,
     ):
         """Full detection loss (RPN + RCNN [+ mask]).
 
@@ -124,6 +125,7 @@ class FViTDetector(nn.Module):
             jax.tree.map(jax.lax.stop_gradient, rpn), image_hw,
             c.train_proposals.nms_pre, c.train_proposals.max_per_img,
             c.train_proposals.iou_threshold, c.train_proposals.min_bbox_size,
+            valid_hw=valid_hw,
         )
         tgt = sample_rois(props, pscores, gt_boxes, gt_labels, gt_valid, k_roi, c)
 
@@ -213,6 +215,7 @@ class FViTDetector(nn.Module):
             rpn, image_hw,
             c.test_proposals.nms_pre, c.test_proposals.max_per_img,
             c.test_proposals.iou_threshold, c.test_proposals.min_bbox_size,
+            valid_hw=valid_hw,
         )
         pooled = multilevel_roi_align(
             feats[:4], props, c.anchors.strides[:4], c.roi_feat_size, c.finest_scale

@@ -28,10 +28,10 @@ import jax.numpy as jnp
 
 from clipself_tpu.detector.boxes import box_area, decode_boxes, encode_boxes
 from clipself_tpu.detector.config import FViTConfig
-from clipself_tpu.detector.layers import ConvNorm, make_norm
+from clipself_tpu.detector.layers import ConvNorm
 from clipself_tpu.detector.nms import NEG_INF, multiclass_nms
 from clipself_tpu.detector.targets import assign_max_iou, random_sample
-from clipself_tpu.ops.roi_align import roi_align_1x1, roi_align_nxn
+from clipself_tpu.ops.roi_align import roi_align_nxn
 
 Dtype = Any
 
@@ -172,7 +172,10 @@ def sample_rois(
 
     def per_image(props, pscores, gts, glabels, gvalid, key):
         boxes = jnp.concatenate([props, gts], axis=0)
-        valid_rows = jnp.concatenate([pscores > NEG_INF, gvalid], axis=0)
+        # SampleCfg.add_gt_as_proposals (mmdet RandomSampler knob): when off,
+        # the gt rows stay in the tensor (static shapes) but are invalidated
+        gt_rows = gvalid if cfg.rcnn_sample.add_gt_as_proposals else jnp.zeros_like(gvalid)
+        valid_rows = jnp.concatenate([pscores > NEG_INF, gt_rows], axis=0)
         a = assign_max_iou(
             boxes, gts, gvalid,
             cfg.rcnn_assign.pos_iou_thr, cfg.rcnn_assign.neg_iou_thr,

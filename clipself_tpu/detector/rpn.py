@@ -145,16 +145,28 @@ def rpn_proposals(
     max_per_img: int,
     iou_threshold: float,
     min_bbox_size: float = 0.0,
+    valid_hw: jnp.ndarray = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Decode + NMS proposals per image.
 
+    valid_hw: optional [B, 2] per-image pre-padding (h, w); proposals are
+    clipped to it (mmdet clips to `img_shape`, not the padded batch square,
+    so anchors decoding into the zero-padding band never reach the RoI head
+    as free-standing proposals).
+
     Returns (boxes [B, P, 4], scores [B, P]); empty slots have score NEG_INF.
     """
+    if valid_hw is None:
+        valid_hw = jnp.broadcast_to(
+            jnp.asarray(image_hw, jnp.float32), (rpn.scores.shape[0], 2)
+        )
 
-    def per_image(scores, deltas):
+    def per_image(scores, deltas, vhw):
         k = min(nms_pre, scores.shape[0])
         top_s, top_i = jax.lax.top_k(scores, k)
         boxes = decode_boxes(rpn.anchors[top_i], deltas[top_i], max_shape=image_hw)
+        lim = jnp.stack([vhw[1], vhw[0], vhw[1], vhw[0]])  # x, y, x, y
+        boxes = jnp.minimum(boxes, lim[None, :])
         wh = boxes[:, 2:] - boxes[:, :2]
         ok = (wh[:, 0] > min_bbox_size) & (wh[:, 1] > min_bbox_size)
         out_boxes, out_scores, _ = nms(
@@ -162,4 +174,4 @@ def rpn_proposals(
         )
         return out_boxes, out_scores
 
-    return jax.vmap(per_image)(rpn.scores, rpn.deltas)
+    return jax.vmap(per_image)(rpn.scores, rpn.deltas, valid_hw)

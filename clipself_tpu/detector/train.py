@@ -23,7 +23,7 @@ import optax
 from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from clipself_tpu.detector.classes import base_novel_mask, class_weights, coco_split, lvis_split
+from clipself_tpu.detector.classes import class_weights, coco_split, lvis_split
 from clipself_tpu.detector.config import PRESETS, FViTConfig
 from clipself_tpu.detector.data import DetectionDataset, SyntheticDetectionData, collate
 from clipself_tpu.detector.fvit import FViTDetector, backbone_taps
@@ -52,15 +52,15 @@ def det_lr_schedule(base_lr: float, warmup: int = 250, warmup_ratio: float = 1e-
 
 
 def build_det_optimizer(base_lr: float = 1e-4, wd: float = 0.1, grad_clip: float = 1.0):
-    def decay_mask(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda p, x: x.ndim >= 2, params
-        )
-
+    # plain AdamW on EVERY parameter (biases, norm scales, the learned
+    # temperature included): the reference config has no paramwise_cfg
+    # (`configs/ov_coco/...original.py`: optimizer = dict(type='AdamW',
+    # weight_decay=0.1)), so a ndim>=2 decay mask would silently diverge
+    # from the recipe this module claims to reproduce
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.scale_by_adam(),
-        optax.add_decayed_weights(wd, mask=decay_mask),
+        optax.add_decayed_weights(wd),
         optax.scale_by_learning_rate(det_lr_schedule(base_lr)),
     )
 
@@ -89,6 +89,7 @@ def make_det_train_step(
                 class_embed,
                 class_weight,
                 batch.get("gt_masks"),
+                batch.get("valid_hw"),
                 method="loss",
             )
 
@@ -157,6 +158,13 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     if args.class_embed:
         ce = np.load(args.class_embed).astype(np.float32)
+        if ce.shape != (k + 1, cfg.embed_dim):
+            raise SystemExit(
+                f"--class-embed {args.class_embed} has shape {ce.shape}; "
+                f"preset {args.preset} needs ({k + 1}, {cfg.embed_dim}) — "
+                f"{k} classes + background (build it from the matching "
+                f"OV-split classes json, e.g. mscoco_65_classes.json)"
+            )
     else:
         log.warning("no --class-embed given; using random embeddings")
         ce = rng.normal(size=(k + 1, cfg.embed_dim)).astype(np.float32)
