@@ -107,6 +107,8 @@ class NativeDistillLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.pool = NativePool(num_threads)
+        self._num_threads = num_threads
+        self._aux_pool = None  # second double-buffer half, created lazily
         self.mean = np.asarray(OPENAI_DATASET_MEAN, np.float32)
         self.std = np.asarray(OPENAI_DATASET_STD, np.float32)
         self.crop_size = crop_size or dataset.crop_size
@@ -184,7 +186,12 @@ class NativeDistillLoader:
         workers in the reference)."""
         from clipself_tpu.data.native_loader import NativePool
 
-        pools = [self.pool, NativePool()]
+        if self._aux_pool is None:
+            # same thread budget as the primary half, reused across
+            # iterators (a fresh default-size pool per iter() would spawn
+            # cpu_count threads each restart and leak until GC)
+            self._aux_pool = NativePool(self._num_threads)
+        pools = [self.pool, self._aux_pool]
         it = self._indices()
         pending = self._submit(pools[0], next(it))
         slot = 0

@@ -114,7 +114,7 @@ def evaluate_zero_shot(
         )
 
     acc = {k: [] for k in ("rois", "crops", "maskpool")}
-    all_labels, all_is_thing, all_sizes = [], [], []
+    all_labels, all_is_thing = [], []
 
     it = dataloader
     if progress:
@@ -140,7 +140,6 @@ def evaluate_zero_shot(
             acc[key].append(_topk_correct(lg, labels))
         all_labels.append(labels)
         all_is_thing.append(boxes[..., 7].reshape(-1)[valid])
-        all_sizes.append(boxes[..., 6].reshape(-1)[valid])
 
     if not all_labels:
         return {}

@@ -36,7 +36,7 @@ def parse_args(argv=None):
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--grad-checkpointing", action="store_true")
     p.add_argument("--attn-impl", default="auto", choices=["auto", "xla", "flash"])
-    p.add_argument("--lock-image", action="store_true", default=True)
+    p.add_argument("--lock-image", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--lock-image-unlocked-groups", type=int, default=12)
     # method
     p.add_argument("--dataset-type", default="grid_distill",
@@ -79,6 +79,11 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--lr-scheduler", default="cosine",
                    choices=["cosine", "const", "const-cooldown"])
+    p.add_argument("--epochs-cooldown", type=int, default=None,
+                   help="const-cooldown: cooldown over the last N epochs "
+                        "(reference params.py --epochs-cooldown)")
+    p.add_argument("--lr-cooldown-end", type=float, default=0.0)
+    p.add_argument("--lr-cooldown-power", type=float, default=1.0)
     p.add_argument("--grad-clip-norm", type=float, default=None)
     p.add_argument("--accum-freq", type=int, default=1,
                    help="gradient accumulation steps (reference exposes but disables this)")
@@ -160,10 +165,20 @@ def build_data(args, mesh):
                 num_threads=args.workers,
             )
         else:
-            data["train"] = make_loader(
-                ds, args.batch_size, shuffle=True, seed=args.seed,
-                num_epochs=None, worker_count=args.workers,
-            )
+            # a FRESH loader per epoch (num_epochs=1, epoch folded into the
+            # shuffle seed): set_epoch cannot reach grain worker processes
+            # once they are spawned, and a continuous num_epochs=None stream
+            # would let batches span data passes — per-epoch loaders keep the
+            # workers' per-item rng and the shuffle order in step with the
+            # trainer's epoch (the torch reference gets both from
+            # DistributedSampler.set_epoch + drop_last)
+            def train_factory(epoch, _ds=ds):
+                return make_loader(
+                    _ds, args.batch_size, shuffle=True, seed=args.seed + epoch,
+                    num_epochs=1, worker_count=args.workers,
+                )
+
+            data["train"] = train_factory
         data["train_size"] = len(ds)
 
     if args.val_data:
@@ -176,6 +191,8 @@ def build_data(args, mesh):
         data["val"] = partial(
             make_loader, val_ds, args.val_batch_size,
             shuffle=False, num_epochs=1, worker_count=args.workers,
+            # never drop tail eval images — mAcc must see the full val set
+            drop_remainder=False,
         )
     return data
 
@@ -270,7 +287,17 @@ def main(argv=None):
             clipself_loss, cosine_weight=args.cosine_weight, extract_type=args.extract_type
         )
 
-    schedule = make_schedule(args.lr_scheduler, args.lr, args.warmup, total_steps)
+    sched_kw = {}
+    if args.lr_scheduler == "const-cooldown":
+        cooldown_epochs = args.epochs_cooldown or max(args.epochs // 4, 1)
+        sched_kw = dict(
+            cooldown_steps=steps_per_epoch * cooldown_epochs,
+            cooldown_power=args.lr_cooldown_power,
+            cooldown_end_lr=args.lr_cooldown_end,
+        )
+    schedule = make_schedule(
+        args.lr_scheduler, args.lr, args.warmup, total_steps, **sched_kw
+    )
     tx = build_optimizer(
         params, schedule, wd=args.wd, beta1=args.beta1, beta2=args.beta2,
         eps=args.eps, grad_clip_norm=args.grad_clip_norm,
@@ -321,7 +348,7 @@ def main(argv=None):
     if args.multiscale and args.dataset_type != "region_clip":
         from clipself_tpu.train.methods import multiscale_sizes, resize_images_for_scale
 
-        ms_sizes = multiscale_sizes(args.det_image_size)
+        ms_sizes = multiscale_sizes(args.det_image_size, cfg.vision.patch_size)
         ms_rng = np.random.default_rng(args.seed + 1)
         resize_fns = {
             s: jax.jit(partial(resize_images_for_scale, target_size=s)) for s in ms_sizes
@@ -357,11 +384,17 @@ def main(argv=None):
     from clipself_tpu.data.loader import device_prefetch
 
     # host->device transfer of batch k+1 overlaps the step on batch k
-    train_iter = device_prefetch(iter(data["train"]), mesh, size=2)
+    train_factory = data["train"] if callable(data["train"]) else None
+    if train_factory is None:
+        train_iter = device_prefetch(iter(data["train"]), mesh, size=2)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     for epoch in range(start_epoch, args.epochs):
         if "train_ds" in data:
+            # before the factory call: grain workers pickle the dataset (and
+            # its epoch) at loader construction
             data["train_ds"].set_epoch(epoch)
+        if train_factory is not None:
+            train_iter = device_prefetch(iter(train_factory(epoch)), mesh, size=2)
         t_start = time.time()
         losses = []
         profile_start = min(10, max(steps_per_epoch - 2, 0))
@@ -385,7 +418,9 @@ def main(argv=None):
                     f"loss {loss:.4f} | {ips:.1f} img/s ({ips / n_dev:.1f}/chip)"
                 )
         completed = epoch + 1
-        if completed % args.save_frequency == 0 or completed == args.epochs:
+        if (
+            args.save_frequency and completed % args.save_frequency == 0
+        ) or completed == args.epochs:
             target = ckpt.save_checkpoint(
                 ckpt_dir, state, teacher_params, completed, alpha=args.alpha,
                 keep=args.keep_checkpoints,

@@ -23,12 +23,16 @@ from clipself_tpu.ops.interpolate import resize_nhwc
 MULTISCALE_SIZES = {1024: (320, 640, 896, 1024), 896: (336, 448, 672, 896)}
 
 
-def multiscale_sizes(det_size: int) -> tuple[int, ...]:
+def multiscale_sizes(det_size: int, patch_size: int = 16) -> tuple[int, ...]:
     if det_size in MULTISCALE_SIZES:
         return MULTISCALE_SIZES[det_size]
     # generic ladder for non-reference det sizes (the reference only supports
-    # 1024/896 and errors otherwise); keep patch-aligned halves/quarters
-    return tuple(sorted({det_size // 2, det_size * 3 // 4, det_size}))
+    # 1024/896 and errors otherwise). Every rung must be a patch multiple or
+    # the patchify grid would misalign with the [0,1]-normalized boxes
+    def snap(v):
+        return max(patch_size, (v // patch_size) * patch_size)
+
+    return tuple(sorted({snap(det_size // 2), snap(det_size * 3 // 4), det_size}))
 
 
 def resize_images_for_scale(batch: dict, target_size: int) -> dict:

@@ -90,35 +90,3 @@ def make_train_step(
         out_shardings=(st, repl),
         donate_argnums=(0,) if donate else (),
     )
-
-
-def make_eval_fns(model, mesh: Optional[Mesh] = None):
-    """Jitted inference entry points used by the zero-shot evaluator."""
-    kw = {}
-    if mesh is not None:
-        from clipself_tpu.parallel.mesh import batch_sharding
-
-        repl = NamedSharding(mesh, P())
-        data = batch_sharding(mesh)
-        kw = dict(in_shardings=(repl, data), out_shardings=data)
-
-    @functools.partial(jax.jit, **kw)
-    def encode_image(params, images):
-        return model.apply({"params": params}, images, True, method="encode_image")
-
-    if mesh is not None:
-        kw2 = dict(in_shardings=(repl, data, data), out_shardings=data)
-    else:
-        kw2 = {}
-
-    @functools.partial(jax.jit, **kw2)
-    def encode_boxes(params, images, boxes):
-        return model.apply(
-            {"params": params}, images, boxes, True, method="encode_pseudo_boxes"
-        )
-
-    @functools.partial(jax.jit, **kw2)
-    def encode_masks(params, images, masks):
-        return model.apply({"params": params}, images, masks, True, method="encode_masks")
-
-    return encode_image, encode_boxes, encode_masks

@@ -207,3 +207,28 @@ def test_eval_only_mode(tmp_path):
     lines = [json.loads(l) for l in open(results)]
     assert len(lines) == 1  # exactly one eval, no training
     assert any("rois" in k for k in lines[0])
+
+
+def test_const_cooldown_scheduler(tmp_path):
+    """--lr-scheduler const-cooldown must be usable from the CLI (its
+    cooldown_steps are derived from --epochs-cooldown or epochs//4)."""
+    main(
+        [
+            "--model", "EVA02-CLIP-Tiny-Test",
+            "--synthetic",
+            "--lr-scheduler", "const-cooldown",
+            "--epochs-cooldown", "1",
+            "--steps-per-epoch", "2",
+            "--epochs", "2",
+            "--det-image-size", "64",
+            "--batch-size", "8",
+            "--max-boxes", "4",
+            "--warmup", "1",
+            "--zeroshot-frequency", "0",
+            "--save-frequency", "0",
+            "--precision", "fp32",
+            "--lock-image-unlocked-groups", "2",
+            "--name", "cooldown",
+            "--logs", str(tmp_path / "logs"),
+        ]
+    )
