@@ -25,9 +25,7 @@ from clipself_tpu.models.text_transformer import TextTransformer
 Dtype = Any
 
 
-def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    n = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
-    return (x.astype(jnp.float32) / (n + 1e-12)).astype(x.dtype)
+from clipself_tpu.models.common import l2_normalize  # noqa: F401 (re-export)
 
 
 class CLIP(nn.Module):

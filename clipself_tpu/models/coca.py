@@ -77,6 +77,7 @@ class MultimodalBlock(nn.Module):
         self.ln_1 = _ln("ln_1")
         self.self_qkv = nn.Dense(3 * w, name="self_qkv", **kw)
         self.self_out = nn.Dense(w, name="self_out", **kw)
+        self.ln_1_q = _ln("ln_1_q")
         self.ln_1_kv = _ln("ln_1_kv")
         self.cross_q = nn.Dense(w, name="cross_q", **kw)
         self.cross_k = nn.Dense(w, name="cross_k", **kw)
@@ -100,7 +101,10 @@ class MultimodalBlock(nn.Module):
             mask=causal_mask,
         ).reshape(x.shape)
         x = x + self.self_out(attn)
-        y = self.ln_1_kv(x).astype(self.dtype)
+        # separate pre-LNs: the text query stream and the projected image kv
+        # stream have different distributions (reference gives cross-attn a
+        # dedicated ln_1 for q and ln_1_kv for kv)
+        y = self.ln_1_q(x).astype(self.dtype)
         ki = self.ln_1_kv(img_tokens).astype(self.dtype)
         cross = multi_head_attention(
             self._heads(self.cross_q(y), h),
@@ -167,18 +171,31 @@ class CoCa(nn.Module):
     def _text_tokens(self, text):
         """Causal unimodal text features [B, L, W] (no pooling)."""
         tt = self.clip.text
+        if not hasattr(tt, "features"):
+            raise NotImplementedError(
+                "CoCa needs the built-in causal text transformer (HF text "
+                "towers expose no per-token feature/projection protocol), "
+                "as in the reference where CoCa builds its own text tower"
+            )
         return tt.features(text)
 
-    def __call__(self, image, text):
-        img_embed, img_tokens = self._image_tokens(image)
+    def decode_text(self, img_tokens, text):
+        """Caption logits [B, L, V] given precomputed caption image tokens —
+        the per-step body of generation (the vision trunk is loop-invariant
+        and must not be recomputed inside the sampling scan)."""
         feats = self._text_tokens(text)
-        txt_embed = l2_normalize(self.clip.text.project(feats, text))
         n = text.shape[1]
         causal = jnp.triu(jnp.full((n, n), -1e9, jnp.float32), 1)[None, None]
         x = feats
         for blk in self.mm_blocks:
             x = blk(x, img_tokens, causal)
-        logits = self.to_logits(self.ln_mm(x).astype(self.dtype))
+        return self.to_logits(self.ln_mm(x).astype(self.dtype))
+
+    def __call__(self, image, text):
+        img_embed, img_tokens = self._image_tokens(image)
+        feats = self._text_tokens(text)
+        txt_embed = l2_normalize(self.clip.text.project(feats, text))
+        logits = self.decode_text(img_tokens, text)
         return {
             "image_features": img_embed,
             "text_features": txt_embed,
@@ -225,12 +242,14 @@ def _apply_processors(
             (pos < min_len) & (jnp.arange(v)[None, :] == eot_id), -1e9, logits
         )
     if repetition_penalty != 1.0:
-        b = tokens.shape[0]
-        seen = jnp.zeros((b, v), bool).at[
-            jnp.arange(b)[:, None], tokens
-        ].set(True)
-        # the pad fill of the static buffer is not a generated token
-        seen = seen.at[:, pad_id].set(False)
+        b, L = tokens.shape
+        # only positions < pos hold generated tokens; later slots are the
+        # static buffer's pad fill. Mask by POSITION (pad_id = 0 is also a
+        # real BPE token — '!' — which must still be penalized when generated)
+        slot = jnp.where(jnp.arange(L)[None, :] < pos, tokens, v)
+        seen = jnp.zeros((b, v + 1), bool).at[
+            jnp.arange(b)[:, None], slot
+        ].set(True)[:, :v]
         penalized = jnp.where(
             logits > 0, logits / repetition_penalty, logits * repetition_penalty
         )
@@ -261,9 +280,11 @@ def generate(
     b = image.shape[0]
     tokens0 = jnp.full((b, max_len), model.pad_id, jnp.int32).at[:, 0].set(sot_id)
 
+    # the vision trunk is loop-invariant: encode ONCE, decode per step
+    _, img_tokens = model.apply({"params": params}, image, method="_image_tokens")
+
     def logits_fn(tokens):
-        out = model.apply({"params": params}, image, tokens)
-        return out["logits"]
+        return model.apply({"params": params}, img_tokens, tokens, method="decode_text")
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -294,6 +315,9 @@ def generate(
             nxt = jax.random.categorical(sub, logits / max(temperature, 1e-6))
         else:
             nxt = jnp.argmax(logits, axis=-1)
+        # the final slot must terminate the caption (reference
+        # `coca_model.py:254-257`: eos is forced when cur_len+1 == seq_len)
+        nxt = jnp.where(pos == max_len - 1, eot_id, nxt)
         nxt = jnp.where(done, model.pad_id, nxt).astype(jnp.int32)
         tokens = tokens.at[:, pos].set(nxt)
         done = done | (nxt == eot_id)
@@ -342,13 +366,15 @@ def beam_search(
     # `coca_model.py:336-338`) so group beams diverge from step one
     scores0 = jnp.where(jnp.arange(k) % sub == 0, 0.0, -1e9)
     scores0 = jnp.broadcast_to(scores0, (b, k)).astype(jnp.float32)
-    image_rep = jnp.repeat(image, k, axis=0)
+    # encode each image ONCE; beams share the repeated caption tokens
+    _, img_tokens = model.apply({"params": params}, image, method="_image_tokens")
+    img_tokens_rep = jnp.repeat(img_tokens, k, axis=0)
 
     def logits_fn(tokens):
-        out = model.apply(
-            {"params": params}, image_rep, tokens.reshape(b * k, max_len)
+        return model.apply(
+            {"params": params}, img_tokens_rep, tokens.reshape(b * k, max_len),
+            method="decode_text",
         )
-        return out["logits"]
 
     def step(carry, pos):
         tokens, scores, done, lens = carry

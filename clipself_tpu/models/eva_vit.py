@@ -33,6 +33,7 @@ from clipself_tpu.models.rope import apply_rope, apply_rope_gathered
 from clipself_tpu.ops.attention import multi_head_attention
 from clipself_tpu.ops.interpolate import resize_2d
 from clipself_tpu.ops.mask_pool import mask_pool
+from clipself_tpu.models.common import l2_normalize
 from clipself_tpu.ops.roi_align import denormalize_boxes, roi_align_1x1
 
 Dtype = Any
@@ -480,9 +481,7 @@ class EvaViT(nn.Module):
         t = self.blocks[-1].forward_without_attn(t)[:, 1:n]
         t = self.norm(t).astype(self.dtype)
         t = self.head(t)
-        t = t / (jnp.linalg.norm(t.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12).astype(
-            t.dtype
-        )
+        t = l2_normalize(t)
         if keep_shape:
             b = x.shape[0]
             gh, gw = grid
@@ -550,9 +549,7 @@ class EvaViT(nn.Module):
         if with_dense:
             d = self.norm(t[:, 1:n]).astype(self.dtype)
             d = self.head(d)
-            d = d / (
-                jnp.linalg.norm(d.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12
-            ).astype(d.dtype)
+            d = l2_normalize(d)
             dense = d.reshape(b, gh, gw, -1)
         return taps, dense
 
@@ -573,22 +570,16 @@ class EvaViT(nn.Module):
         ti = self.blocks[-1](t, grid, bias, seg)
         ti = self.norm(ti).astype(self.dtype)
         x_image = self.head(ti[:, 0])
-        x_image = x_image / (
-            jnp.linalg.norm(x_image.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12
-        ).astype(x_image.dtype)
+        x_image = l2_normalize(x_image)
         # dense branch: final block value path
         td = self.blocks[-1].forward_without_attn(t)[:, 1:n]
         td = self.norm(td).astype(self.dtype)
         td = self.head(td)
-        td = td / (
-            jnp.linalg.norm(td.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12
-        ).astype(td.dtype)
+        td = l2_normalize(td)
         b = x.shape[0]
         gh, gw = grid
         dense = td.reshape(b, gh, gw, -1)
         boxes = denormalize_boxes(normed_boxes, gh, gw)
         rois = roi_align_1x1(dense, boxes)
-        rois = rois / (
-            jnp.linalg.norm(rois.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12
-        ).astype(rois.dtype)
+        rois = l2_normalize(rois)
         return rois, x_image

@@ -10,11 +10,39 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from clipself_tpu.core.config import CLIPConfig, get_model_config
 from clipself_tpu.models.clip import CLIP
+
+
+def _load_orbax_params(ckpt_dir, params):
+    """Restore the ensembled "params" payload from an Orbax checkpoint
+    directory (a trainer run dir `.../checkpoints`, or one step dir)."""
+    import jax
+
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    try:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint steps under {ckpt_dir}")
+        restored = mgr.restore(step)
+    finally:
+        mgr.close()
+    tree = restored.get("params", restored)
+    ours = jax.tree_util.tree_structure(params)
+    theirs = jax.tree_util.tree_structure(tree)
+    if ours != theirs:
+        raise ValueError(
+            f"checkpoint param structure under {ckpt_dir} does not match the "
+            f"model: {theirs} vs {ours}"
+        )
+    return jax.tree.map(lambda ref, new: jnp.asarray(new, ref.dtype), params, tree)
 
 
 def create_model(
@@ -58,9 +86,20 @@ def create_model(
     params = jax.eval_shape(_init) if pretrained else jax.jit(_init)()
 
     if pretrained:
-        from clipself_tpu.models.torch_io import load_pretrained
+        import os
 
-        params = load_pretrained(pretrained, params, cfg)
+        if os.path.isdir(pretrained):
+            # Orbax run/step directory from our own trainer: graft the saved
+            # (ensembled) "params" payload
+            params = _load_orbax_params(pretrained, params)
+        else:
+            from clipself_tpu.models.pretrained import resolve_pretrained
+            from clipself_tpu.models.torch_io import load_pretrained
+
+            # catalog tags ('eva02', 'openai', ...) resolve/download here;
+            # existing local paths pass through verbatim
+            path = resolve_pretrained(cfg.name, pretrained)
+            params = load_pretrained(path, params, cfg)
     if cfg.text.hf_model_name:
         if hf_pretrained:
             from clipself_tpu.models.hf_text import load_hf_pretrained

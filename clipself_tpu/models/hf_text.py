@@ -42,7 +42,22 @@ def _hf_flax_module(model_name_or_config, hf_config_kwargs: Optional[dict] = Non
     # _do_init=False: we only need the Flax module definition — eager init
     # would materialize (and discard) the full trunk's random weights on
     # every setup/trace
-    wrapper = FlaxAutoModel.from_config(cfg, _do_init=False)
+    if getattr(cfg, "is_encoder_decoder", False):
+        # seq2seq trunks (mT5): use the ENCODER-only model class — the full
+        # module would demand decoder_input_ids and return decoder states
+        # (reference `hf_model.py:111-113` takes .encoder the same way)
+        import transformers as _t
+
+        name = {"t5": "FlaxT5EncoderModel", "mt5": "FlaxMT5EncoderModel"}.get(
+            cfg.model_type
+        )
+        if name is None:
+            raise NotImplementedError(
+                f"no Flax encoder-only class known for {cfg.model_type!r}"
+            )
+        wrapper = getattr(_t, name)._from_config(cfg, _do_init=False)
+    else:
+        wrapper = FlaxAutoModel.from_config(cfg, _do_init=False)
     return wrapper.module, cfg
 
 
@@ -50,22 +65,30 @@ class MeanPooler(nn.Module):
     """Masked mean over tokens (reference `hf_model.py:30-38`)."""
 
     @nn.compact
-    def __call__(self, hidden, attention_mask):
+    def __call__(self, out, attention_mask):
+        hidden = out.last_hidden_state
         m = attention_mask[..., None].astype(hidden.dtype)
         return (hidden * m).sum(1) / jnp.maximum(m.sum(1), 1e-6)
 
 
 class ClsPooler(nn.Module):
+    """Trained pooler head when the trunk has one, else raw CLS (reference
+    `hf_model.py` ClsPooler with use_pooler_output=True)."""
+
     @nn.compact
-    def __call__(self, hidden, attention_mask):
-        return hidden[:, 0]
+    def __call__(self, out, attention_mask):
+        pooled = getattr(out, "pooler_output", None)
+        if pooled is not None:
+            return pooled
+        return out.last_hidden_state[:, 0]
 
 
 class LastPooler(nn.Module):
     """Feature of the last non-padding token."""
 
     @nn.compact
-    def __call__(self, hidden, attention_mask):
+    def __call__(self, out, attention_mask):
+        hidden = out.last_hidden_state
         idx = jnp.maximum(attention_mask.sum(1) - 1, 0).astype(jnp.int32)
         return jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
 
@@ -125,8 +148,7 @@ class HFTextTower(nn.Module):
             pad_mask = (input_ids != pad_id).astype(jnp.int32)
             kwargs["position_ids"] = jnp.cumsum(pad_mask, axis=1) * pad_mask + pad_id
         out = self.trunk(input_ids=input_ids, attention_mask=attention_mask, **kwargs)
-        hidden = out.last_hidden_state
-        pooled = self.pooler(hidden, attention_mask)
+        pooled = self.pooler(out, attention_mask)
         return self.projection(pooled)
 
 

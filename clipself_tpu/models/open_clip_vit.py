@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from clipself_tpu.core.config import VisionConfig
 from clipself_tpu.models.clip import l2_normalize
+from clipself_tpu.models.common import LayerScale
 from clipself_tpu.ops.attention import multi_head_attention
 from clipself_tpu.ops.interpolate import resize_2d
 from clipself_tpu.ops.mask_pool import mask_pool
@@ -67,6 +68,9 @@ class CLIPBlock(nn.Module):
         self.ln_2 = _layer_norm("ln_2")
         self.c_fc = nn.Dense(int(c.width * c.mlp_ratio), name="c_fc", **kw)
         self.c_proj = nn.Dense(c.width, name="c_proj", **kw)
+        ls = getattr(c, "ls_init_value", None)
+        self.ls_1 = LayerScale(c.width, ls, name="ls_1") if ls is not None else None
+        self.ls_2 = LayerScale(c.width, ls, name="ls_2") if ls is not None else None
 
     def _attn(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
         c = self.cfg
@@ -84,20 +88,25 @@ class CLIPBlock(nn.Module):
         )
         return self.out_proj(out.reshape(b, n, c.width))
 
+    def _ls(self, which, x):
+        ls = self.ls_1 if which == 1 else self.ls_2
+        return x if ls is None else ls(x)
+
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        x = x + self._attn(self.ln_1(x).astype(self.dtype), mask)
+        x = x + self._ls(1, self._attn(self.ln_1(x).astype(self.dtype), mask))
         h = _act(self.cfg, self.c_fc(self.ln_2(x).astype(self.dtype)))
-        return x + self.c_proj(h)
+        return x + self._ls(2, self.c_proj(h))
 
     def forward_without_attn(self, x: jnp.ndarray) -> jnp.ndarray:
         """Value path: V rows of the packed in_proj + out_proj
         (reference `ResidualAttentionBlockV2.proj_without_attn`,
-        `transformer.py:247-260`)."""
+        `transformer.py:247-260`; ls_1/ls_2 wrap the branches exactly as in
+        the full forward)."""
         c = self.cfg
         y = self.in_proj(self.ln_1(x).astype(self.dtype))[..., 2 * c.width :]
-        x = x + self.out_proj(y)
+        x = x + self._ls(1, self.out_proj(y))
         h = _act(self.cfg, self.c_fc(self.ln_2(x).astype(self.dtype)))
-        return x + self.c_proj(h)
+        return x + self._ls(2, self.c_proj(h))
 
 
 class OpenCLIPViT(nn.Module):

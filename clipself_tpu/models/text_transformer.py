@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from clipself_tpu.core.config import TextConfig
+from clipself_tpu.models.common import LayerScale
 from clipself_tpu.ops.attention import multi_head_attention
 
 Dtype = Any
@@ -47,6 +48,9 @@ class TextBlock(nn.Module):
         self.ln_2 = _layer_norm("ln_2", c.ln_eps)
         self.c_fc = nn.Dense(4 * c.width, name="c_fc", **kw)
         self.c_proj = nn.Dense(c.width, name="c_proj", **kw)
+        ls = getattr(c, "ls_init_value", None)
+        self.ls_1 = LayerScale(c.width, ls, name="ls_1") if ls is not None else None
+        self.ls_2 = LayerScale(c.width, ls, name="ls_2") if ls is not None else None
 
     def _attention(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
@@ -61,9 +65,11 @@ class TextBlock(nn.Module):
         return self.out_proj(out.reshape(b, n, c.width))
 
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-        x = x + self._attention(self.ln_1(x).astype(self.dtype), mask)
+        a = self._attention(self.ln_1(x).astype(self.dtype), mask)
+        x = x + (a if self.ls_1 is None else self.ls_1(a))
         h = _act(self.cfg, self.c_fc(self.ln_2(x).astype(self.dtype)))
-        x = x + self.c_proj(h)
+        m = self.c_proj(h)
+        x = x + (m if self.ls_2 is None else self.ls_2(m))
         return x
 
 

@@ -71,6 +71,8 @@ def _vision_key_map(flax_key: tuple[str, ...], cfg: CLIPConfig):
         rest = k[1:]
         base = f"visual.transformer.resblocks.{i}"
         ln = {"scale": "weight", "bias": "bias"}
+        if rest[0] in ("ls_1", "ls_2"):
+            return f"{base}.{rest[0]}.gamma", None
         if rest[0] in ("ln_1", "ln_2"):
             return f"{base}.{rest[0]}.{ln[rest[1]]}", None
         if rest[0] == "in_proj":
@@ -165,6 +167,8 @@ def _text_key_map(flax_key: tuple[str, ...]):
         rest = k[1:]
         base = f"text.transformer.resblocks.{i}"
         ln = {"scale": "weight", "bias": "bias"}
+        if rest[0] in ("ls_1", "ls_2"):
+            return f"{base}.{rest[0]}.gamma", None
         if rest[0] in ("ln_1", "ln_2"):
             return f"{base}.{rest[0]}.{ln[rest[1]]}", None
         if rest[0] == "in_proj":

@@ -21,9 +21,7 @@ from clipself_tpu.ops.roi_align import denormalize_boxes, roi_align_1x1
 Dtype = Any
 
 
-def _l2(x):
-    n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12
-    return (x.astype(jnp.float32) / n).astype(x.dtype)
+from clipself_tpu.models.common import l2_normalize as _l2
 
 
 class FlaxTrunkAdapter(nn.Module):

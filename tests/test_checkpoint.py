@@ -78,3 +78,29 @@ def test_macc_with_is_thing():
     # class 0: top5 acc 1.0; class 1: 0 -> mean 0.5
     np.testing.assert_allclose(r["rois.thing.macc5"], 0.5)
     np.testing.assert_allclose(r["rois.stuff.macc1"], 1.0)
+
+
+def test_create_model_from_orbax_dir(tmp_path):
+    """create_model(pretrained=<orbax dir>) loads the ensembled params
+    (the factory docstring's advertised Orbax path)."""
+    model, params = create_model(CFG, dtype=jnp.float32, seed=0)
+    teacher = jax.tree.map(lambda x: x * 0.0, params)
+    tx = build_optimizer(
+        params, make_schedule("const", 1e-3, 1, 10),
+        unlocked_groups=CFG.vision.layers, num_layers=CFG.vision.layers,
+    )
+    state = TrainState.create(params, tx)
+    ckpt.save_checkpoint(str(tmp_path / "ck"), state, teacher, epoch=1, alpha=0.7)
+
+    _, loaded = create_model(CFG, dtype=jnp.float32, pretrained=str(tmp_path / "ck"))
+    np.testing.assert_allclose(
+        np.asarray(loaded["logit_scale"]),
+        0.7 * np.asarray(params["logit_scale"]), rtol=1e-6,
+    )
+
+
+def test_create_model_unknown_tag_is_loud():
+    """A pretrained value that is neither a path nor a catalog tag fails
+    with the known-tags message, not a torch.load stack trace."""
+    with pytest.raises(FileNotFoundError, match="neither a local path nor a known tag"):
+        create_model(CFG, dtype=jnp.float32, pretrained="no-such-tag")

@@ -1021,3 +1021,55 @@ def test_eva_xattn_forward_golden():
         np.asarray(got_dense), want_dense.permute(0, 2, 3, 1).numpy(),
         atol=2e-4, rtol=1e-3,
     )
+
+
+def test_openclip_layerscale_golden():
+    """ls_init_value (LayerScale gammas on both residual branches,
+    `transformer.py:240-260` incl. forward_without_attn) against the
+    reference, including the ls_1/ls_2.gamma state-dict mapping."""
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    tr = _ref_module("ref_oc", REF, "transformer")
+    torch.manual_seed(9)
+    ref = tr.VisionTransformer(
+        image_size=32, patch_size=8, width=64, layers=2, heads=2, mlp_ratio=4.0,
+        ls_init_value=0.1, global_average_pool=False, attentional_pool=False,
+        n_queries=0, attn_pooler_heads=1, output_dim=48,
+        patch_dropout=0.0, input_patchnorm=False,
+        act_layer=torch.nn.GELU, norm_layer=partial(torch.nn.LayerNorm, eps=1e-5),
+        output_tokens=False,
+    ).eval()
+    with torch.no_grad():  # constant-init gammas would make the test blind
+        for name, prm in ref.named_parameters():
+            if "ls_" in name:
+                prm.uniform_(0.05, 0.3)
+    cfg = CLIPConfig(
+        embed_dim=48,
+        vision=VisionConfig(
+            image_size=32, layers=2, width=64, head_width=32, patch_size=8,
+            mlp_ratio=4.0, ln_eps=1e-5, ls_init_value=0.1,
+        ),
+        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
+        name="tiny-ls-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+
+    rng = np.random.default_rng(41)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img).permute(0, 3, 1, 2))
+        want_dense = ref.encode_dense(torch.from_numpy(img).permute(0, 3, 1, 2))
+    got = model.apply({"params": params}, jnp.asarray(img), method="encode_image")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4, rtol=1e-3)
+    got_dense = model.apply(
+        {"params": params}, jnp.asarray(img), False, False, method="encode_dense"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dense), want_dense.numpy(), atol=2e-4, rtol=1e-3
+    )
