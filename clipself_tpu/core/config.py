@@ -108,7 +108,16 @@ class CLIPConfig:
 
 def _filter_fields(cls, cfg: dict) -> dict:
     names = {f.name for f in dataclasses.fields(cls)}
-    return {k: v for k, v in cfg.items() if k in names}
+    unknown = sorted(set(cfg) - names)
+    if unknown:
+        # silently dropping keys would build a DIFFERENT architecture than
+        # the config asks for (typos, or unsupported reference knobs like
+        # timm_model_name); the reference's **cfg unpack errors the same way
+        raise ValueError(
+            f"unknown {cls.__name__} config keys: {unknown} "
+            f"(supported: {sorted(names)})"
+        )
+    return dict(cfg)
 
 
 def config_from_dict(d: dict, name: str = "") -> CLIPConfig:

@@ -106,6 +106,10 @@ class NativePool:
         self._lib = lib
         n = num_threads or max(os.cpu_count() or 1, 1)
         self._pool = lib.csl_pool_create(n)
+        # strong refs to every output buffer with in-flight jobs: the C++
+        # side writes through raw pointers, so the arrays must outlive the
+        # jobs even if the submitting iterator is abandoned
+        self._refs = []
 
     def submit_distill_item(
         self,
@@ -124,13 +128,19 @@ class NativePool:
             raise ValueError(
                 f"{m} crop boxes but only {crops_out.shape[0]} output rows"
             )
+        if not crops_out.flags["C_CONTIGUOUS"]:
+            # reshape(-1) of a strided view would hand the C++ job a
+            # TEMPORARY COPY: results lost and freed memory written
+            raise ValueError("crops_out must be C-contiguous")
+        crops_flat = crops_out.reshape(-1)
         self._lib.csl_submit_distill_item(
             self._pool, path.encode(), det_out.shape[0], crops_out.shape[1], m,
             np.ascontiguousarray(crop_boxes, np.float32),
             np.ascontiguousarray(mean, np.float32),
             np.ascontiguousarray(std, np.float32),
-            det_out, crops_out.reshape(-1),
+            det_out, crops_flat,
         )
+        self._refs.append((det_out, crops_flat))
 
     def submit_resize_pad(
         self, path: str, out: np.ndarray, scale_out: np.ndarray,
@@ -142,10 +152,13 @@ class NativePool:
             np.ascontiguousarray(std, np.float32),
             out, scale_out,
         )
+        self._refs.append((out, scale_out))
 
     def wait(self) -> int:
         """Block until all submitted jobs finish; returns the error count."""
-        return self._lib.csl_pool_wait(self._pool)
+        n = self._lib.csl_pool_wait(self._pool)
+        self._refs.clear()
+        return n
 
     def wait_status(self, num_jobs: int) -> np.ndarray:
         """Block until all jobs finish; returns a [num_jobs] uint8 array of
@@ -157,14 +170,18 @@ class NativePool:
         a bad row ok."""
         out = np.zeros(max(num_jobs, 1), np.uint8)
         n = self._lib.csl_pool_wait_status(self._pool, out, out.shape[0])
+        self._refs.clear()
         if n != num_jobs:
             return np.zeros(num_jobs, np.uint8)
         return out[:num_jobs]
 
     def close(self):
         if self._pool:
+            # destroy joins the workers (in-flight jobs finish, queued jobs
+            # are discarded) — only then may the buffer refs be released
             self._lib.csl_pool_destroy(self._pool)
             self._pool = None
+            self._refs.clear()
 
     def __del__(self):  # pragma: no cover
         try:

@@ -135,7 +135,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     from clipself_tpu.models.factory import create_model
-    from clipself_tpu.parallel.mesh import create_mesh, shard_batch
+    from clipself_tpu.parallel.mesh import create_mesh, init_distributed, shard_batch
 
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -200,6 +200,7 @@ def main(argv=None):
                     return
                 yield collate([ds[int(j)] for j in idx])
 
+    init_distributed()
     mesh = create_mesh()
     tx = build_det_optimizer(args.lr, args.wd)
     # init on tiny shapes via eval_shape-free direct init

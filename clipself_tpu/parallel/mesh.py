@@ -22,12 +22,28 @@ def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[
     """Multi-host bootstrap (reference `init_distributed_device`,
     `src/training/distributed.py:63-114`, collapsed to JAX's single runtime
     call). No-op when env auto-detection suffices or on single-host."""
+    import logging
+
     import jax
 
+    log = logging.getLogger("clipself_tpu")
     multi_proc_env = any(
-        os.environ.get(k) for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
+        os.environ.get(k)
+        for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
     )
-    if coordinator is None and num_processes is None and not multi_proc_env:
+    # reference-style launcher discovery (`distributed.py:24-60`): SLURM /
+    # OpenMPI world sizes; CLIPSELF_DISTRIBUTED=1 opts in on plain TPU pods
+    # where only instance metadata (no env) identifies the slice
+    world = int(
+        os.environ.get("SLURM_NTASKS")
+        or os.environ.get("OMPI_COMM_WORLD_SIZE")
+        or 0
+    )
+    opt_in = os.environ.get("CLIPSELF_DISTRIBUTED") == "1"
+    if (
+        coordinator is None and num_processes is None
+        and not (multi_proc_env or world > 1 or opt_in)
+    ):
         return  # single-process: nothing to bootstrap (auto-detect can hang)
     try:
         jax.distributed.initialize(
@@ -35,8 +51,18 @@ def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+        log.info(
+            "jax.distributed initialized: process %d of %d",
+            jax.process_index(), jax.process_count(),
+        )
+    except (RuntimeError, ValueError) as e:
+        # LOUD: a silently-failed bootstrap would train one independent
+        # model per host with no cross-host gradient sync
+        log.warning(
+            "jax.distributed.initialize failed (%s); continuing "
+            "single-process — if this is a multi-host launch the hosts "
+            "will NOT be synchronized", e,
+        )
 
 
 def create_mesh(

@@ -17,6 +17,8 @@ import argparse
 import contextlib
 import json
 
+import numpy as np
+
 
 def profile_fn(fn, *specs) -> dict:
     """Compile fn for the given ShapeDtypeStructs and report cost analysis."""
@@ -69,6 +71,13 @@ def profile_model(model_name: str, image_sizes, batch_size: int = 1, train: bool
 
         report[f"encode_image@{size}"] = profile_fn(enc, pspec, img)
         report[f"encode_dense@{size}"] = profile_fn(dense, pspec, img)
+        if train:
+            # training cost at this size: grad of a scalarized dense output
+            # (teacher/loss excluded — this isolates the tower's fwd+bwd)
+            def dense_bwd(p, x):
+                return jax.grad(lambda q: dense(q, x)[0].sum().astype(jnp.float32))(p)
+
+            report[f"encode_dense_fwd_bwd@{size}"] = profile_fn(dense_bwd, pspec, img)
     txt = S((batch_size, cfg.text.context_length), jnp.int32)
 
     def etxt(p, t):
@@ -90,16 +99,19 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-import numpy as np  # noqa: E402  (used in profile_model)
-
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="EVA02-CLIP-B-16")
     p.add_argument("--image-size", type=int, nargs="+", default=[224])
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--train", action="store_true",
+                   help="also profile the dense fwd+bwd (training) cost")
     args = p.parse_args()
-    print(json.dumps(profile_model(args.model, args.image_size, args.batch_size), indent=2))
+    print(json.dumps(
+        profile_model(args.model, args.image_size, args.batch_size, train=args.train),
+        indent=2,
+    ))
 
 
 if __name__ == "__main__":

@@ -10,7 +10,6 @@ step works offline and is what tests cover.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import tempfile
@@ -31,21 +30,60 @@ def package_checkpoint(
     save_torch_checkpoint(ckpt, params, cfg)
     cfg_path = os.path.join(out_dir, "open_clip_config.json")
     with open(cfg_path, "w") as f:
-        json.dump(
-            {
-                "model_cfg": {
-                    "embed_dim": cfg.embed_dim,
-                    "vision_cfg": dataclasses.asdict(cfg.vision),
-                    "text_cfg": dataclasses.asdict(cfg.text),
-                },
-            },
-            f,
-            indent=2,
-        )
+        json.dump({"model_cfg": _openclip_model_cfg(cfg)}, f, indent=2)
     card_path = os.path.join(out_dir, "README.md")
     with open(card_path, "w") as f:
         f.write(model_card or _default_card(cfg))
     return [ckpt, cfg_path, card_path]
+
+
+def _openclip_model_cfg(cfg) -> dict:
+    """Reference-format model config (loadable by open_clip's factory):
+    only CLIPVisionCfg/CLIPTextCfg keys, RN layer tuples restored,
+    quick_gelu at the top level — a raw dataclasses.asdict would leak
+    clipself_tpu-only fields that `CLIPVisionCfg(**cfg)` rejects."""
+    v, t = cfg.vision, cfg.text
+    vision = {
+        "image_size": v.image_size,
+        "layers": list(v.resnet_layers) if v.resnet_layers else v.layers,
+        "width": v.width,
+        "head_width": v.head_width,
+        "patch_size": v.patch_size,
+        "mlp_ratio": v.mlp_ratio,
+    }
+    if v.ls_init_value is not None:
+        vision["ls_init_value"] = v.ls_init_value
+    if v.patch_dropout:
+        vision["patch_dropout"] = v.patch_dropout
+    # EVA-family knobs (the eva_clip config format carries these same keys)
+    for k in (
+        "rope", "intp_freq", "naiveswiglu", "subln", "xattn", "fusedLN",
+        "pt_hw_seq_len", "drop_path_rate", "eva_model_name",
+    ):
+        val = getattr(v, k, None)
+        if val:
+            vision[k] = val
+    if t.hf_model_name:
+        text = {
+            "hf_model_name": t.hf_model_name,
+            "hf_tokenizer_name": t.hf_tokenizer_name or t.hf_model_name,
+            "pooler_type": t.pooler_type,
+            "proj": t.proj,
+        }
+    else:
+        text = {
+            "context_length": t.context_length,
+            "vocab_size": t.vocab_size,
+            "width": t.width,
+            "heads": t.heads,
+            "layers": t.layers,
+        }
+        if t.ls_init_value is not None:
+            text["ls_init_value"] = t.ls_init_value
+    out = {"embed_dim": cfg.embed_dim, "vision_cfg": vision, "text_cfg": text}
+    if getattr(v, "quick_gelu", False):
+        out["quick_gelu"] = True
+    return out
 
 
 def _default_card(cfg) -> str:

@@ -215,7 +215,10 @@ def main(argv=None):
 
     from clipself_tpu.core.config import get_model_config
     from clipself_tpu.models.factory import create_model
-    from clipself_tpu.parallel.mesh import create_mesh
+    from clipself_tpu.parallel.mesh import create_mesh, init_distributed
+
+    # multi-host bootstrap BEFORE any mesh/device use (no-op single-process)
+    init_distributed()
     from clipself_tpu.train import checkpoint as ckpt
     from clipself_tpu.train.methods import clipself_loss, regionclip_loss
     from clipself_tpu.train.optim import build_optimizer, make_schedule
@@ -395,8 +398,10 @@ def main(argv=None):
             data["train_ds"].set_epoch(epoch)
         if train_factory is not None:
             train_iter = device_prefetch(iter(train_factory(epoch)), mesh, size=2)
-        t_start = time.time()
-        losses = []
+        from clipself_tpu.utils.meters import AverageMeter, ThroughputMeter
+
+        loss_meter = AverageMeter()
+        tput = ThroughputMeter(n_chips=n_dev)
         profile_start = min(10, max(steps_per_epoch - 2, 0))
         profile_stop = min(profile_start + 5, steps_per_epoch - 1)
         for i in range(steps_per_epoch):
@@ -408,16 +413,17 @@ def main(argv=None):
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 log.info(f"profiler trace written to {args.profile_dir}")
+            tput.update(args.batch_size)
             if (i + 1) % args.log_every_n_steps == 0 or i + 1 == steps_per_epoch:
-                loss = float(metrics["loss"])
-                losses.append(loss)
-                done = (i + 1) * args.batch_size
-                ips = done / (time.time() - t_start)
+                loss = float(metrics["loss"])  # device sync: only at log steps
+                loss_meter.update(loss)
+                ips = tput.window()  # per-interval: compile steps don't drag
                 log.info(
                     f"epoch {epoch} step {i+1}/{steps_per_epoch} "
                     f"loss {loss:.4f} | {ips:.1f} img/s ({ips / n_dev:.1f}/chip)"
                 )
         completed = epoch + 1
+        log.info(f"epoch {epoch} done | mean logged loss {loss_meter.avg:.4f}")
         if (
             args.save_frequency and completed % args.save_frequency == 0
         ) or completed == args.epochs:

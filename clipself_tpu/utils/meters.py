@@ -26,7 +26,9 @@ class AverageMeter:
 
 
 class ThroughputMeter:
-    """images/sec and images/sec/chip over a sliding window."""
+    """images/sec (and /chip) since the last window() call — call window()
+    at each log boundary so one slow compile step cannot drag every later
+    report (a purely cumulative average would)."""
 
     def __init__(self, n_chips: int = 1):
         self.n_chips = n_chips
@@ -38,6 +40,13 @@ class ThroughputMeter:
 
     def update(self, n_images: int):
         self._images += n_images
+
+    def window(self) -> float:
+        """images/sec over the window since the previous window()/reset(),
+        then start a new window."""
+        ips = self.images_per_sec
+        self.reset()
+        return ips
 
     @property
     def images_per_sec(self) -> float:

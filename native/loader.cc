@@ -209,9 +209,13 @@ void resize_crop(const uint8_t* src, int sw, int sh, float x0, float y0, float c
         g += w[k] * p[1];
         b += w[k] * p[2];
       }
-      trow[x * 3 + 0] = r;
-      trow[x * 3 + 1] = g;
-      trow[x * 3 + 2] = b;
+      // PIL's 8bpc pipeline rounds and clamps EACH separable pass to
+      // [0,255] (clip8 of the fixed-point accumulator): without this,
+      // Keys-kernel overshoot at hard edges leaks values like 263 or -6
+      // into the normalize step that PIL can never produce
+      trow[x * 3 + 0] = std::min(255.f, std::max(0.f, std::round(r)));
+      trow[x * 3 + 1] = std::min(255.f, std::max(0.f, std::round(g)));
+      trow[x * 3 + 2] = std::min(255.f, std::max(0.f, std::round(b)));
     }
   }
   // vertical pass
@@ -222,7 +226,7 @@ void resize_crop(const uint8_t* src, int sw, int sh, float x0, float y0, float c
     for (int x = 0; x < dw * 3; ++x) {
       float acc = 0;
       for (int k = 0; k < cnt; ++k) acc += w[k] * tmp[size_t(lo + k - y_lo) * dw * 3 + x];
-      drow[x] = acc;
+      drow[x] = std::min(255.f, std::max(0.f, std::round(acc)));
     }
   }
 }
@@ -291,7 +295,18 @@ class Pool {
       {
         std::unique_lock<std::mutex> lk(mu_);
         cv_.wait(lk, [this] { return stop_ || !jobs_.empty(); });
-        if (stop_ && jobs_.empty()) return;
+        if (stop_) {
+          // DISCARD queued jobs on teardown: they write through raw
+          // pointers into caller buffers that may already be freed.
+          // In-flight jobs finish (the destructor joins us afterwards).
+          while (!jobs_.empty()) {
+            status_[jobs_.front().first] = 0;
+            jobs_.pop();
+            --pending_;
+          }
+          done_cv_.notify_all();
+          return;
+        }
         job = std::move(jobs_.front());
         jobs_.pop();
       }

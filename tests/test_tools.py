@@ -58,3 +58,27 @@ def test_text_embeddings_build_and_cli(tmp_path):
         sys.argv = argv
     arr = np.load(out)
     assert arr.shape == (4, cfg.embed_dim)  # 3 classes + background
+
+
+def test_hub_config_round_trips_through_config_from_dict(tmp_path):
+    """The packaged open_clip_config.json must contain only reference-format
+    keys: config_from_dict (which now rejects unknown keys, as the
+    reference's **cfg unpack does) must rebuild the same architecture."""
+    import json
+
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import config_from_dict, get_model_config
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.tools.push_to_hub import package_checkpoint
+
+    cfg = get_model_config("EVA02-CLIP-Tiny-Test")
+    model, params = create_model(cfg, dtype=jnp.float32, seed=0)
+    package_checkpoint(str(tmp_path), params, cfg)
+    d = json.load(open(tmp_path / "open_clip_config.json"))
+    rebuilt = config_from_dict(d["model_cfg"], name="round-trip")
+    assert rebuilt.embed_dim == cfg.embed_dim
+    assert rebuilt.vision.layers == cfg.vision.layers
+    assert rebuilt.vision.width == cfg.vision.width
+    assert rebuilt.vision.rope == cfg.vision.rope
+    assert rebuilt.text.vocab_size == cfg.text.vocab_size
