@@ -402,8 +402,14 @@ def beam_search(
         new_scores = top_scores.reshape(b, k)
         bi = jnp.arange(b)[:, None]
         tokens = tokens[bi, src_beam]  # reorder frontiers
-        tokens = tokens.at[:, :, pos].set(token_idx)
         was_done = done[bi, src_beam]
+        # unfinished beams terminate with EOT at the final slot (HF
+        # BeamSearchScorer.finalize appends eos the same way; mirrors
+        # generate()'s forced EOT)
+        token_idx = jnp.where(
+            (pos == max_len - 1) & ~was_done, eot_id, token_idx
+        ).astype(jnp.int32)
+        tokens = tokens.at[:, :, pos].set(token_idx)
         done = was_done | (token_idx == eot_id)
         # generated length (incl. eot) freezes when a beam finishes
         lens = jnp.where(was_done, lens[bi, src_beam], pos + 1)

@@ -53,52 +53,12 @@ def test_synthetic_resume(tmp_path):
 
 
 def _write_micro_coco(root):
-    """Tiny on-disk COCO-format corpus: train instances JSON + images,
-    panoptic val JSON + segment PNGs, and a classifier embedding matrix."""
-    import json as _json
+    from tests.conftest import write_micro_coco
 
-    from PIL import Image
-
-    img_dir = root / "images"
-    seg_dir = root / "segm"
-    img_dir.mkdir()
-    seg_dir.mkdir()
-    rng = np.random.default_rng(0)
-    images, annotations, pan_annotations = [], [], []
-    for i in range(8):
-        w, h = 80, 64
-        Image.fromarray(
-            rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
-        ).save(img_dir / f"img{i}.jpg")
-        images.append({"id": i, "file_name": f"img{i}.jpg", "width": w, "height": h})
-        annotations.append(
-            {"id": i, "image_id": i, "category_id": 1, "bbox": [5, 5, 30, 25], "area": 750}
-        )
-        seg = np.zeros((h, w, 3), np.uint8)
-        seg[: h // 2, :, 0] = 1
-        seg[h // 2 :, :, 0] = 2
-        Image.fromarray(seg).save(seg_dir / f"img{i}.png")
-        pan_annotations.append(
-            {
-                "image_id": i,
-                "file_name": f"img{i}.png",
-                "segments_info": [
-                    {"id": 1, "category_id": 1, "bbox": [0, 0, w, h // 2], "area": w * h // 2},
-                    {"id": 2, "category_id": 2, "bbox": [0, h // 2, w, h // 2], "area": w * h // 2},
-                ],
-            }
-        )
-    cats = [
-        {"id": 1, "name": "thing_a", "isthing": 1},
-        {"id": 2, "name": "stuff_b", "isthing": 0},
-    ]
-    with open(root / "instances.json", "w") as f:
-        _json.dump({"images": images, "annotations": annotations, "categories": cats}, f)
-    with open(root / "panoptic.json", "w") as f:
-        _json.dump({"images": images, "annotations": pan_annotations, "categories": cats}, f)
-    emb = rng.normal(size=(2, 64)).astype(np.float32)  # tiny model embed_dim
-    np.save(root / "emb.npy", emb)
-    return img_dir, seg_dir
+    # fixed 80x64 images, 1 ann each, embed dim matching the tiny model
+    return write_micro_coco(
+        root, n_images=8, image_size=(80, 64), anns_per_image=1, embed_dim=64
+    )
 
 
 def test_coco_micro_subset_end_to_end(tmp_path):

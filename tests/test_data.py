@@ -21,55 +21,10 @@ from clipself_tpu.data.transforms import det_transform, get_scale
 
 @pytest.fixture(scope="module")
 def coco_dir(tmp_path_factory):
+    from tests.conftest import write_micro_coco
+
     root = tmp_path_factory.mktemp("coco")
-    img_dir = root / "images"
-    seg_dir = root / "segm"
-    img_dir.mkdir()
-    seg_dir.mkdir()
-    rng = np.random.default_rng(0)
-    images, annotations, pan_annotations = [], [], []
-    for i in range(4):
-        w, h = 80 + 10 * i, 60 + 5 * i
-        arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
-        name = f"img{i}.jpg"
-        Image.fromarray(arr).save(img_dir / name)
-        images.append({"id": i, "file_name": name, "width": w, "height": h})
-        # two instance anns per image
-        for j in range(2):
-            annotations.append(
-                {
-                    "id": i * 10 + j,
-                    "image_id": i,
-                    "category_id": (j % 2) + 1,
-                    "bbox": [5 + j * 10, 5, 20, 15],
-                    "area": 300,
-                }
-            )
-        # panoptic segm png: two segments with ids 1 and 2
-        seg = np.zeros((h, w, 3), np.uint8)
-        seg[: h // 2, :, 0] = 1  # id 1
-        seg[h // 2 :, :, 0] = 2  # id 2
-        Image.fromarray(seg).save(seg_dir / f"img{i}.png")
-        pan_annotations.append(
-            {
-                "image_id": i,
-                "file_name": f"img{i}.png",
-                "segments_info": [
-                    {"id": 1, "category_id": 1, "bbox": [0, 0, w, h // 2], "area": w * h // 2},
-                    {"id": 2, "category_id": 2, "bbox": [0, h // 2, w, h - h // 2], "area": w * h // 2},
-                ],
-            }
-        )
-    cats = [
-        {"id": 1, "name": "thing_a", "isthing": 1},
-        {"id": 2, "name": "stuff_b", "isthing": 0},
-    ]
-    with open(root / "instances.json", "w") as f:
-        json.dump({"images": images, "annotations": annotations, "categories": cats}, f)
-    with open(root / "panoptic.json", "w") as f:
-        json.dump({"images": images, "annotations": pan_annotations, "categories": cats}, f)
-    emb = rng.normal(size=(2, 16)).astype(np.float32)
-    np.save(root / "emb.npy", emb)
+    write_micro_coco(root, n_images=4, anns_per_image=2, embed_dim=16)
     return root
 
 

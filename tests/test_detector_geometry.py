@@ -100,7 +100,8 @@ def test_assign_max_iou():
     valid = jnp.asarray([True, True, False])
     a = assign_max_iou(anchors, gts, valid, 0.7, 0.3, 0.3, True)
     pos = np.asarray(a.pos)
-    assert pos[0] and pos[1] == (float(a.max_iou[1]) >= 0.7) or pos[1]  # low-quality match
+    assert pos[0]  # exact-match anchor
+    assert pos[1] == (float(a.max_iou[1]) >= 0.7)  # positive iff above thr
     assert pos[2]  # best anchor for gt 1 (IoU 0.8 >= min_pos_iou)
     assert not pos[3] and bool(a.neg[3])
     assert int(a.gt_idx[0]) == 0 and int(a.gt_idx[2]) == 1

@@ -53,22 +53,45 @@ def test_fused_bwd_matches_autodiff(use_seg):
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=1e-4)
 
 
-def test_fused_vjp_wrapper_grads_cpu():
-    """The custom_vjp wrapper's bwd rule wiring (cotangent shapes/dtypes)."""
+def test_fused_vjp_wrapper_bwd_rule_cpu(monkeypatch):
+    """The custom_vjp wrapper's ACTUAL bwd rule (`_flash_fused_bwd`): run it
+    with interpret-mode kernels against autodiff of the reference attention
+    — a broken cotangent (shape, swapped outputs, NaN) must fail here."""
+    import functools
+
+    import clipself_tpu.ops.flash_bwd as FB
     from clipself_tpu.ops import attention as A
 
-    # interpret-mode stand-ins: call the pieces directly
+    # route the bwd rule's kernel through interpret mode (no TPU on CI)
+    monkeypatch.setattr(
+        FB, "flash_attention_bwd",
+        functools.partial(FB.flash_attention_bwd, interpret=True),
+    )
+
     rng = np.random.default_rng(1)
-    q = jnp.asarray(rng.normal(size=(1, 2, 128, 64)), jnp.float32)
+    q, k, v, do = (
+        jnp.asarray(rng.normal(size=(1, 2, 128, 64)), jnp.float32) for _ in range(4)
+    )
     segf = jnp.ones((1, 128), jnp.float32)
 
-    def f(q):
-        # emulate _flash_fused_bwd contract using the reference fwd
-        o = ref_attn(q, q, q)
-        return jnp.sum(o ** 2)
+    # residuals exactly as the bundled forward would save them
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * SCALE
+    m = logits.max(-1)
+    l = jnp.exp(logits - m[..., None]).sum(-1)
+    o = ref_attn(q, k, v)
 
-    g = jax.grad(f)(q)
-    assert g.shape == q.shape and np.isfinite(np.asarray(g)).all()
+    dq, dk, dv, dseg = A._flash_fused_bwd(
+        SCALE, 128, (q, k, v, segf, o, l, m), do
+    )
+    # autodiff reference
+    def f(q, k, v):
+        return jnp.sum(ref_attn(q, k, v) * do)
+
+    dq_ref, dk_ref, dv_ref = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=1e-4)
+    assert dseg.shape == segf.shape  # cotangent for the non-diff segf input
 
 
 def test_fused_bwd_no_nan_with_extreme_masked_logits():

@@ -329,35 +329,9 @@ def test_tokenizer_golden():
 
 
 def test_openclip_vit_forward_golden():
-    tr = _ref_module("ref_oc", REF, "transformer")
-    torch.manual_seed(1)
-    ref = tr.VisionTransformer(
-        image_size=32, patch_size=8, width=64, layers=2, heads=2, mlp_ratio=4.0,
-        ls_init_value=None, global_average_pool=False, attentional_pool=False,
-        n_queries=0, attn_pooler_heads=1, output_dim=48,
-        patch_dropout=0.0, input_patchnorm=False,
-        act_layer=torch.nn.GELU, norm_layer=partial(torch.nn.LayerNorm, eps=1e-5),
-        output_tokens=False,
-    ).eval()
-
     import jax.numpy as jnp
 
-    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
-    from clipself_tpu.models.factory import create_model
-    from clipself_tpu.models.torch_io import import_state_dict
-
-    cfg = CLIPConfig(
-        embed_dim=48,
-        vision=VisionConfig(
-            image_size=32, layers=2, width=64, head_width=32, patch_size=8,
-            mlp_ratio=4.0, ln_eps=1e-5,
-        ),
-        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
-        name="tiny-oc-golden",
-    )
-    model, params = create_model(cfg, dtype=jnp.float32)
-    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
-    params = import_state_dict(sd, dict(params), cfg, strict=False)
+    ref, model, params = _openclip_pair(seed=1)
 
     rng = np.random.default_rng(3)
     img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
@@ -438,47 +412,9 @@ def test_eva_rel_pos_bias_golden(shared):
 def test_modified_resnet_forward_golden():
     """Anti-aliased CLIP ResNet forward against the actual reference
     (`modified_resnet.py:207-...`) through the torch state-dict import."""
-    # the reference file absolute-imports `open_clip.utils`; provide a stub
-    if "open_clip" not in sys.modules:
-        oc = types.ModuleType("open_clip")
-        oc.__path__ = []
-        utils = types.ModuleType("open_clip.utils")
-        utils.freeze_batch_norm_2d = lambda m, *a, **k: None
-        oc.utils = utils
-        sys.modules["open_clip"] = oc
-        sys.modules["open_clip.utils"] = utils
-    mr = _ref_module("ref_mrn", REF, "modified_resnet")
-    torch.manual_seed(2)
-    width, embed = 8, 48
-    ref = mr.ModifiedResNet(
-        layers=(1, 1, 1, 1), output_dim=embed, heads=width * 32 // 64,
-        image_size=64, width=width,
-    ).eval()
-    with torch.no_grad():  # default bn stats are identity; randomize them
-        for name, buf in ref.named_buffers():
-            if "running_mean" in name:
-                buf.normal_(0.0, 0.2)
-            elif "running_var" in name:
-                buf.uniform_(0.5, 1.5)
-
     import jax.numpy as jnp
 
-    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
-    from clipself_tpu.models.factory import create_model
-    from clipself_tpu.models.torch_io import import_state_dict
-
-    cfg = CLIPConfig(
-        embed_dim=embed,
-        vision=VisionConfig(
-            image_size=64, layers=4, width=width, head_width=64, patch_size=32,
-            resnet_layers=(1, 1, 1, 1),
-        ),
-        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
-        name="tiny-rn-golden",
-    )
-    model, params = create_model(cfg, dtype=jnp.float32)
-    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
-    params = import_state_dict(sd, dict(params), cfg, strict=False)
+    ref, model, params = _rn_pair(seed=2)
 
     rng = np.random.default_rng(4)
     img = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
@@ -541,35 +477,9 @@ def test_openclip_v1_mask_attn_golden():
     736-834`) against the actual reference modules — covers the box->grid
     mask construction, the one-extra-query-per-box attention layout, and the
     proj/normalize tail."""
-    tr = _ref_module("ref_oc", REF, "transformer")
-    torch.manual_seed(7)
-    ref = tr.VisionTransformer(
-        image_size=32, patch_size=8, width=64, layers=2, heads=2, mlp_ratio=4.0,
-        ls_init_value=None, global_average_pool=False, attentional_pool=False,
-        n_queries=0, attn_pooler_heads=1, output_dim=48,
-        patch_dropout=0.0, input_patchnorm=False,
-        act_layer=torch.nn.GELU, norm_layer=partial(torch.nn.LayerNorm, eps=1e-5),
-        output_tokens=False,
-    ).eval()
-
     import jax.numpy as jnp
 
-    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
-    from clipself_tpu.models.factory import create_model
-    from clipself_tpu.models.torch_io import import_state_dict
-
-    cfg = CLIPConfig(
-        embed_dim=48,
-        vision=VisionConfig(
-            image_size=32, layers=2, width=64, head_width=32, patch_size=8,
-            mlp_ratio=4.0, ln_eps=1e-5,
-        ),
-        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
-        name="tiny-v1-golden",
-    )
-    model, params = create_model(cfg, dtype=jnp.float32)
-    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
-    params = import_state_dict(sd, dict(params), cfg, strict=False)
+    ref, model, params = _openclip_pair(seed=7)
 
     rng = np.random.default_rng(8)
     img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
@@ -599,35 +509,9 @@ def test_openclip_v1_mask_attn_golden():
 def test_openclip_mask_pool_golden():
     """mask_pool (`transformer.py:525-535`): masked mean of the normalized
     dense map, against the reference modules."""
-    tr = _ref_module("ref_oc", REF, "transformer")
-    torch.manual_seed(9)
-    ref = tr.VisionTransformer(
-        image_size=32, patch_size=8, width=64, layers=2, heads=2, mlp_ratio=4.0,
-        ls_init_value=None, global_average_pool=False, attentional_pool=False,
-        n_queries=0, attn_pooler_heads=1, output_dim=48,
-        patch_dropout=0.0, input_patchnorm=False,
-        act_layer=torch.nn.GELU, norm_layer=partial(torch.nn.LayerNorm, eps=1e-5),
-        output_tokens=False,
-    ).eval()
-
     import jax.numpy as jnp
 
-    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
-    from clipself_tpu.models.factory import create_model
-    from clipself_tpu.models.torch_io import import_state_dict
-
-    cfg = CLIPConfig(
-        embed_dim=48,
-        vision=VisionConfig(
-            image_size=32, layers=2, width=64, head_width=32, patch_size=8,
-            mlp_ratio=4.0, ln_eps=1e-5,
-        ),
-        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
-        name="tiny-mp-golden",
-    )
-    model, params = create_model(cfg, dtype=jnp.float32)
-    sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
-    params = import_state_dict(sd, dict(params), cfg, strict=False)
+    ref, model, params = _openclip_pair(seed=9)
 
     rng = np.random.default_rng(10)
     img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
