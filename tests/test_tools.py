@@ -82,3 +82,28 @@ def test_hub_config_round_trips_through_config_from_dict(tmp_path):
     assert rebuilt.vision.width == cfg.vision.width
     assert rebuilt.vision.rope == cfg.vision.rope
     assert rebuilt.text.vocab_size == cfg.text.vocab_size
+
+
+def test_throughput_meter_windows():
+    """window() reports the interval since the previous window()/reset() —
+    a slow first interval (compile) must not drag later reports."""
+    import time
+
+    from clipself_tpu.utils.meters import AverageMeter, ThroughputMeter
+
+    m = ThroughputMeter(n_chips=2)
+    m.update(10)
+    time.sleep(0.05)
+    first = m.window()
+    assert 0 < first < 10 / 0.05 + 1
+    # new window: much faster rate must be reported, unpolluted by the first
+    m.update(100)
+    time.sleep(0.01)
+    second = m.window()
+    assert second > first
+    assert m.images_per_sec == 0.0  # fresh window
+
+    a = AverageMeter()
+    for v in (1.0, 2.0, 3.0):
+        a.update(v)
+    assert a.avg == 2.0 and a.val == 3.0
