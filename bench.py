@@ -48,6 +48,10 @@ def main():
     max_boxes = int(os.environ.get("BENCH_MAX_BOXES", "20"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    if remat:
+        # remat pipelines the fused backward deeper; 1536 kv blocks overflow
+        # the 16MB scoped-VMEM budget that the non-remat graph fits
+        os.environ.setdefault("CLIPSELF_FLASH_BWD_BLOCK_K", "768")
     # BENCH_MULTISCALE=1 benches the reference's --multiscale recipe
     # (`clipself.py:17-27`: each step trains at a random size from
     # {320,640,896,1024}); we cycle the sizes deterministically, which has

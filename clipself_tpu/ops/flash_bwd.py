@@ -19,6 +19,7 @@ Forward pass (and its softmax stats l, m) comes from the bundled kernel via
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -134,6 +135,12 @@ def flash_attention_bwd(
     Returns (dq, dk, dv) in q.dtype.
     """
     b, h, n, d = q.shape
+    env_k = os.environ.get("CLIPSELF_FLASH_BWD_BLOCK_K")
+    if env_k:
+        # rematerialized graphs (--grad-checkpointing) pipeline this kernel
+        # deeper and overflow scoped VMEM at kv=1536 even at batch*heads<=24;
+        # the trainers set 768 here when remat is on
+        block_k = min(block_k, int(env_k))
     if b * h > 24 and block_k > 768:
         # the XLA pipeliner's scoped-VMEM accounting for this kernel exceeds
         # the 16MB budget with 1536 kv blocks once the batch*heads grid grows

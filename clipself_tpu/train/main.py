@@ -213,6 +213,9 @@ def main(argv=None):
             pass
     import jax.numpy as jnp
 
+    if args.grad_checkpointing:
+        # see ops/flash_bwd.py: remat overflows scoped VMEM at kv=1536
+        os.environ.setdefault("CLIPSELF_FLASH_BWD_BLOCK_K", "768")
     from clipself_tpu.core.config import get_model_config
     from clipself_tpu.models.factory import create_model
     from clipself_tpu.parallel.mesh import create_mesh, init_distributed
