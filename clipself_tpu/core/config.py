@@ -50,6 +50,13 @@ class VisionConfig:
     xattn: bool = False  # kept for config parity; attention impl is chosen at runtime
     fusedLN: bool = False  # LayerNorm is always XLA-fused on TPU; kept for parity
     global_average_pool: bool = False
+    # CoCa-style attentional pooling inside the visual tower (reference
+    # `transformer.py:380-384`: AttentionalPooler(output_dim, width) followed
+    # by ln_post over output_dim and a square proj)
+    attentional_pool: bool = False
+    n_queries: int = 256
+    attn_pooler_heads: int = 8
+    output_tokens: bool = False
     quick_gelu: bool = False
     eva_model_name: Optional[str] = None
     # when set, the tower is a CLIP ModifiedResNet with these stage depths
@@ -96,6 +103,30 @@ class TextConfig:
     hf_model_config: Optional[dict] = None  # offline AutoConfig kwargs
     pooler_type: str = "mean_pooler"
     proj: str = "linear"
+    # CoCa text tower (reference `transformer.py:883-1016`): a learned CLS
+    # token appended at the END of the sequence pools the caption stream
+    embed_cls: bool = False
+    output_tokens: bool = False
+    pad_id: int = 0
+
+
+@dataclass(frozen=True)
+class MultimodalConfig:
+    """CoCa multimodal decoder hyperparameters (reference `MultimodalCfg`,
+    `src/open_clip/coca_model.py:44-50`)."""
+
+    context_length: int = 76
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    ls_init_value: Optional[float] = None
+    mlp_ratio: float = 4.0
+    dim_head: int = 64
+    n_queries: int = 256
+    attn_pooler_heads: int = 8
+    quick_gelu: bool = False
+    ln_eps: float = 1e-5
 
 
 @dataclass(frozen=True)
@@ -103,6 +134,10 @@ class CLIPConfig:
     embed_dim: int = 512
     vision: VisionConfig = field(default_factory=VisionConfig)
     text: TextConfig = field(default_factory=TextConfig)
+    # presence of a multimodal decoder config makes the model a CoCa
+    # (reference keys this on "multimodal_cfg" in the JSON,
+    # `src/open_clip/factory.py:215-230`)
+    multimodal: Optional[MultimodalConfig] = None
     name: str = ""
 
 
@@ -123,15 +158,27 @@ def _filter_fields(cls, cfg: dict) -> dict:
 def config_from_dict(d: dict, name: str = "") -> CLIPConfig:
     vcfg = dict(d.get("vision_cfg", {}))
     tcfg = dict(d.get("text_cfg", {}))
+    mcfg = d.get("multimodal_cfg")
     if d.get("quick_gelu"):  # reference puts this at top level in some configs
         vcfg.setdefault("quick_gelu", True)
         tcfg.setdefault("quick_gelu", True)
+        if mcfg is not None:
+            mcfg = dict(mcfg)
+            mcfg.setdefault("quick_gelu", True)
     if isinstance(vcfg.get("layers"), (list, tuple)):
         vcfg["resnet_layers"] = tuple(vcfg["layers"])
         vcfg["layers"] = len(vcfg["resnet_layers"])
     vision = VisionConfig(**_filter_fields(VisionConfig, vcfg))
     text = TextConfig(**_filter_fields(TextConfig, tcfg))
-    return CLIPConfig(embed_dim=d["embed_dim"], vision=vision, text=text, name=name)
+    multimodal = (
+        MultimodalConfig(**_filter_fields(MultimodalConfig, dict(mcfg)))
+        if mcfg is not None
+        else None
+    )
+    return CLIPConfig(
+        embed_dim=d["embed_dim"], vision=vision, text=text,
+        multimodal=multimodal, name=name,
+    )
 
 
 def list_models() -> list[str]:

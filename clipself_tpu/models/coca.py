@@ -1,16 +1,25 @@
 """CoCa: contrastive captioner (CLIP + caption decoder).
 
-Equivalent of the reference's inherited CoCa stack
-(`src/open_clip/coca_model.py`, `src/open_clip/transformer.py:163`
-AttentionalPooler, `src/open_clip/generation_utils.py`) — present in the
-upstream fork for API completeness but unused by the shipped recipes. This
-re-design keeps the same capability surface: a vision trunk pooled by
-learnable attention queries (1 contrastive + N caption queries), a causal
-unimodal text encoder, a cross-attending multimodal decoder producing
-caption logits, a combined contrastive+caption loss, and fixed-shape
-`lax.scan` generation: greedy, top-k, top-p, and (group) beam search with
-min-length and repetition-penalty processors (reference
-`CoCa.generate`/`_generate_beamsearch`, `coca_model.py:167-343`).
+Architecture parity with the reference CoCa stack
+(`src/open_clip/coca_model.py`, `src/open_clip/transformer.py:163-186`
+AttentionalPooler / `:1018-1106` MultimodalTransformer,
+`src/open_clip/generation_utils.py`):
+
+  - visual tower: VisionTransformer with attentional pooling — n_queries
+    learned queries in embed_dim space, ln_post over ALL pooled tokens,
+    square projection; (pooled, tokens) = (x[:, 0] @ proj, x[:, 1:])
+    (`transformer.py:380-384,480-494`)
+  - text tower: TextTransformer with a learned CLS token appended at the END
+    (embed_cls), pad-masked CLS attention row, caption token stream returned
+    WITHOUT ln_final (`transformer.py:985-1016`)
+  - text decoder: per layer one causal self-attention block then one
+    cross-attention block (each with its own MLP), final LN + projection to
+    the vocabulary (`transformer.py:1018-1106`)
+
+Generation is a TPU-first re-design of the reference's HF-based sampling
+(`coca_model.py:167-343`): fixed-shape `lax.scan` over positions with
+greedy/top-k/top-p and (group) beam search, min-length and
+repetition-penalty processors.
 """
 
 from __future__ import annotations
@@ -22,9 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from clipself_tpu.core.config import CLIPConfig
-from clipself_tpu.models.clip import l2_normalize
-from clipself_tpu.ops.attention import multi_head_attention
+from clipself_tpu.core.config import CLIPConfig, MultimodalConfig, TextConfig
+from clipself_tpu.models.common import l2_normalize
+from clipself_tpu.models.text_transformer import TextBlock, TextTransformer
 
 Dtype = Any
 
@@ -33,186 +42,215 @@ def _ln(name, eps=1e-5):
     return nn.LayerNorm(epsilon=eps, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
 
 
-class AttentionalPooler(nn.Module):
-    """Learnable-query cross attention pooling (reference
-    `transformer.py:163-186`)."""
+class CrossAttnBlock(nn.Module):
+    """Cross-attention residual block (reference `ResidualAttentionBlock`
+    with is_cross_attention=True, `transformer.py:189-245`): q from ln_1(x),
+    k/v from ln_1_kv(kv), packed-in_proj-equivalent projections, then an MLP
+    — a FULL block with its own feed-forward, unlike a bare cross-attn."""
 
-    d_model: int
-    context_dim: int
-    n_head: int = 8
-    n_queries: int = 256
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        b = tokens.shape[0]
-        q = self.param(
-            "query", nn.initializers.normal(0.02), (self.n_queries, self.d_model),
-            jnp.float32,
-        )
-        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
-        tokens = _ln("ln_k")(tokens).astype(self.dtype)
-        qx = jnp.broadcast_to(q.astype(self.dtype), (b,) + q.shape)
-        qx = _ln("ln_q")(qx).astype(self.dtype)
-        h = self.n_head
-        d = self.d_model // h
-        qh = nn.Dense(self.d_model, name="q_proj", **kw)(qx).reshape(b, -1, h, d)
-        kh = nn.Dense(self.d_model, name="k_proj", **kw)(tokens).reshape(b, -1, h, d)
-        vh = nn.Dense(self.d_model, name="v_proj", **kw)(tokens).reshape(b, -1, h, d)
-        out = multi_head_attention(qh, kh, vh, d ** -0.5)
-        out = out.reshape(b, self.n_queries, self.d_model)
-        return nn.Dense(self.d_model, name="out_proj", **kw)(out)
-
-
-class MultimodalBlock(nn.Module):
-    """Causal self-attention + cross-attention to image queries + MLP."""
-
-    width: int
-    heads: int
+    cfg: MultimodalConfig
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        c = self.cfg
+        w = c.width
         kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
-        w = self.width
-        self.ln_1 = _ln("ln_1")
-        self.self_qkv = nn.Dense(3 * w, name="self_qkv", **kw)
-        self.self_out = nn.Dense(w, name="self_out", **kw)
-        self.ln_1_q = _ln("ln_1_q")
-        self.ln_1_kv = _ln("ln_1_kv")
-        self.cross_q = nn.Dense(w, name="cross_q", **kw)
-        self.cross_k = nn.Dense(w, name="cross_k", **kw)
-        self.cross_v = nn.Dense(w, name="cross_v", **kw)
-        self.cross_out = nn.Dense(w, name="cross_out", **kw)
-        self.ln_2 = _ln("ln_2")
-        self.c_fc = nn.Dense(4 * w, name="c_fc", **kw)
+        self.ln_1 = _ln("ln_1", c.ln_eps)
+        self.ln_1_kv = _ln("ln_1_kv", c.ln_eps)
+        # torch packs q/k/v into attn.in_proj_weight; separate Denses here
+        # (mapped by slice in torch_io) because q and kv streams differ
+        self.q_proj = nn.Dense(w, name="q_proj", **kw)
+        self.k_proj = nn.Dense(w, name="k_proj", **kw)
+        self.v_proj = nn.Dense(w, name="v_proj", **kw)
+        self.out_proj = nn.Dense(w, name="out_proj", **kw)
+        self.ln_2 = _ln("ln_2", c.ln_eps)
+        self.c_fc = nn.Dense(int(w * c.mlp_ratio), name="c_fc", **kw)
         self.c_proj = nn.Dense(w, name="c_proj", **kw)
 
-    def _heads(self, x, h):
-        b, n, _ = x.shape
-        return x.reshape(b, n, h, self.width // h)
+    def __call__(self, x: jnp.ndarray, kv: jnp.ndarray) -> jnp.ndarray:
+        from clipself_tpu.ops.attention import multi_head_attention
 
-    def __call__(self, x, img_tokens, causal_mask):
-        h = self.heads
-        d = self.width // h
+        c = self.cfg
+        h = c.heads
+        d = c.width // h
+        b, n, _ = x.shape
         y = self.ln_1(x).astype(self.dtype)
-        q, k, v = jnp.split(self.self_qkv(y), 3, axis=-1)
-        attn = multi_head_attention(
-            self._heads(q, h), self._heads(k, h), self._heads(v, h), d ** -0.5,
-            mask=causal_mask,
-        ).reshape(x.shape)
-        x = x + self.self_out(attn)
-        # separate pre-LNs: the text query stream and the projected image kv
-        # stream have different distributions (reference gives cross-attn a
-        # dedicated ln_1 for q and ln_1_kv for kv)
-        y = self.ln_1_q(x).astype(self.dtype)
-        ki = self.ln_1_kv(img_tokens).astype(self.dtype)
-        cross = multi_head_attention(
-            self._heads(self.cross_q(y), h),
-            self._heads(self.cross_k(ki), h),
-            self._heads(self.cross_v(ki), h),
+        ki = self.ln_1_kv(kv).astype(self.dtype)
+        out = multi_head_attention(
+            self.q_proj(y).reshape(b, n, h, d),
+            self.k_proj(ki).reshape(b, -1, h, d),
+            self.v_proj(ki).reshape(b, -1, h, d),
             d ** -0.5,
-        ).reshape(x.shape)
-        x = x + self.cross_out(cross)
+        )
+        x = x + self.out_proj(out.reshape(b, n, c.width))
         y = self.ln_2(x).astype(self.dtype)
-        return x + self.c_proj(nn.gelu(self.c_fc(y), approximate=False))
+        hmid = self.c_fc(y)
+        if c.quick_gelu:
+            hmid = hmid * jax.nn.sigmoid(1.702 * hmid)
+        else:
+            hmid = nn.gelu(hmid, approximate=False)
+        return x + self.c_proj(hmid)
+
+
+class MultimodalDecoder(nn.Module):
+    """Reference `MultimodalTransformer` (`transformer.py:1018-1106`): per
+    layer a causal self block then a cross block, final LN, projection to the
+    vocabulary."""
+
+    cfg: MultimodalConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        # the self blocks are plain text resblocks; reuse TextBlock through a
+        # TextConfig view of the multimodal hyperparameters
+        tc = TextConfig(
+            context_length=c.context_length, vocab_size=c.vocab_size,
+            width=c.width, heads=c.heads, layers=c.layers,
+            ls_init_value=c.ls_init_value, quick_gelu=c.quick_gelu,
+            ln_eps=c.ln_eps,
+        )
+        if c.mlp_ratio != 4.0:
+            raise NotImplementedError(
+                "multimodal mlp_ratio != 4 (no shipped reference config uses it)"
+            )
+        self.resblocks = [
+            TextBlock(tc, dtype=self.dtype, name=f"resblocks_{i}")
+            for i in range(c.layers)
+        ]
+        self.cross_attn = [
+            CrossAttnBlock(c, dtype=self.dtype, name=f"cross_attn_{i}")
+            for i in range(c.layers)
+        ]
+        self.ln_final = _ln("ln_final", c.ln_eps)
+        self.text_projection = self.param(
+            "text_projection",
+            nn.initializers.normal(c.width ** -0.5),
+            (c.width, c.vocab_size),
+            jnp.float32,
+        )
+
+    def __call__(self, image_embs: jnp.ndarray, text_embs: jnp.ndarray) -> jnp.ndarray:
+        n = text_embs.shape[1]
+        causal = jnp.triu(jnp.full((n, n), -jnp.inf, jnp.float32), k=1)[None, None]
+        x = text_embs
+        for blk, cross in zip(self.resblocks, self.cross_attn):
+            x = blk(x, causal)
+            x = cross(x, image_embs)
+        x = self.ln_final(x).astype(self.dtype)
+        return x @ self.text_projection.astype(x.dtype)
 
 
 class CoCa(nn.Module):
-    """Contrastive captioner over the framework's ViT towers (EVA or
-    OpenCLIP; ResNet towers have no token stream for the pooler)."""
+    """Contrastive captioner (reference `CoCa`, `coca_model.py:80-166`).
+
+    Param tree mirrors the reference state-dict roots: `visual` (ViT with
+    attentional pool), `text` (embed_cls text transformer), `text_decoder`
+    (multimodal decoder), `logit_scale`.
+    """
 
     cfg: CLIPConfig
-    multimodal_layers: int = 6
-    caption_queries: int = 255
-    pad_id: int = 0
     dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+    pad_id: int = 0
 
     def setup(self):
-        from clipself_tpu.models.clip import CLIP
-
         c = self.cfg
-        self.clip = CLIP(c, dtype=self.dtype, name="clip")
-        width = c.text.width
-        self.img_pooler = AttentionalPooler(
-            d_model=width, context_dim=c.vision.width, n_head=c.text.heads,
-            n_queries=self.caption_queries + 1, dtype=self.dtype, name="img_pooler",
-        )
-        self.img_proj = nn.Dense(
-            width, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-            name="img_proj",
-        )
-        self.contrastive_proj = nn.Dense(
-            c.embed_dim, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-            name="contrastive_proj",
-        )
-        self.mm_blocks = [
-            MultimodalBlock(width, c.text.heads, dtype=self.dtype, name=f"mm_{i}")
-            for i in range(self.multimodal_layers)
-        ]
-        self.ln_mm = _ln("ln_mm")
-        self.to_logits = nn.Dense(
-            c.text.vocab_size, use_bias=False, dtype=self.dtype,
-            param_dtype=jnp.float32, name="to_logits",
-        )
+        assert c.multimodal is not None, "CoCa needs a multimodal config"
+        if c.vision.eva_model_name:
+            from clipself_tpu.models.eva_vit import EvaViT
 
-    def _image_tokens(self, image):
-        """Vision trunk token sequence -> (contrastive embed, caption tokens)."""
-        visual = self.clip.visual
-        if not hasattr(visual, "forward_tokens"):
+            visual_cls = EvaViT
+        elif c.vision.resnet_layers:
             raise NotImplementedError(
-                "CoCa needs a token-sequence vision tower (EVA or OpenCLIP "
-                "ViT); ResNet towers have no token stream, as in the reference"
+                "CoCa needs a token-sequence vision tower; ResNet towers have "
+                "no token stream (as in the reference)"
             )
-        t = visual.forward_tokens(image)
-        pooled = self.img_pooler(self.img_proj(t))
-        contrastive = l2_normalize(self.contrastive_proj(pooled[:, 0]))
-        return contrastive, pooled[:, 1:]
+        else:
+            from clipself_tpu.models.open_clip_vit import OpenCLIPViT
 
-    def _text_tokens(self, text):
-        """Causal unimodal text features [B, L, W] (no pooling)."""
-        tt = self.clip.text
-        if not hasattr(tt, "features"):
-            raise NotImplementedError(
-                "CoCa needs the built-in causal text transformer (HF text "
-                "towers expose no per-token feature/projection protocol), "
-                "as in the reference where CoCa builds its own text tower"
+            visual_cls = OpenCLIPViT
+        self.visual = visual_cls(
+            c.vision, embed_dim=c.embed_dim, dtype=self.dtype,
+            attn_impl=self.attn_impl, remat=self.remat, name="visual",
+        )
+        if c.text.hf_model_name:
+            from clipself_tpu.models.hf_text import HFTextTower
+
+            self.text = HFTextTower(
+                c.text.hf_model_name, output_dim=c.embed_dim,
+                pooler_type=c.text.pooler_type, proj=c.text.proj,
+                hf_config_kwargs=c.text.hf_model_config,
+                dtype=self.dtype, name="text",
             )
-        return tt.features(text)
+        else:
+            self.text = TextTransformer(
+                c.text, embed_dim=c.embed_dim, dtype=self.dtype, name="text"
+            )
+        self.text_decoder = MultimodalDecoder(
+            c.multimodal, dtype=self.dtype, name="text_decoder"
+        )
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(np.log(1.0 / 0.07)), (), jnp.float32
+        )
 
-    def decode_text(self, img_tokens, text):
+    def _encode_image(self, image, normalize: bool = True):
+        """(image_latent [B, E], image_embs [B, Q-1, E]) — reference
+        `_encode_image`, `coca_model.py:131-134`."""
+        pooled, tokens = self.visual.forward_pooled(image)
+        latent = l2_normalize(pooled) if normalize else pooled
+        return latent, tokens
+
+    def _encode_text(self, text, normalize: bool = True, embed_cls: bool = True):
+        """(text_latent [B, E], token_embs [B, L, W]) — reference
+        `_encode_text`, `coca_model.py:136-139`: with embed_cls the input is
+        truncated by one to make room for the CLS slot."""
+        text = text[:, :-1] if embed_cls else text
+        if hasattr(self.text, "forward_coca"):
+            pooled, tokens = self.text.forward_coca(text)
+        else:  # HF text tower: per-token hidden states + pooled projection
+            pooled, tokens = self.text.forward_tokens(text)
+        latent = l2_normalize(pooled) if normalize else pooled
+        return latent, tokens
+
+    def encode_image(self, image, normalize: bool = True):
+        return self._encode_image(image, normalize=normalize)[0]
+
+    def encode_text(self, text, normalize: bool = True, embed_cls: bool = True):
+        return self._encode_text(text, normalize=normalize, embed_cls=embed_cls)[0]
+
+    def decode_text(self, img_tokens, text, embed_cls: bool = False):
         """Caption logits [B, L, V] given precomputed caption image tokens —
         the per-step body of generation (the vision trunk is loop-invariant
         and must not be recomputed inside the sampling scan)."""
-        feats = self._text_tokens(text)
-        n = text.shape[1]
-        causal = jnp.triu(jnp.full((n, n), -1e9, jnp.float32), 1)[None, None]
-        x = feats
-        for blk in self.mm_blocks:
-            x = blk(x, img_tokens, causal)
-        return self.to_logits(self.ln_mm(x).astype(self.dtype))
+        _, token_embs = self._encode_text(text, embed_cls=embed_cls)
+        return self.text_decoder(img_tokens, token_embs)
 
-    def __call__(self, image, text):
-        img_embed, img_tokens = self._image_tokens(image)
-        feats = self._text_tokens(text)
-        txt_embed = l2_normalize(self.clip.text.project(feats, text))
-        logits = self.decode_text(img_tokens, text)
+    def __call__(self, image, text, embed_cls: bool = True):
+        text_latent, token_embs = self._encode_text(text, embed_cls=embed_cls)
+        image_latent, image_embs = self._encode_image(image)
+        labels = text[:, -token_embs.shape[1]:]
+        logits = self.text_decoder(image_embs, token_embs)
         return {
-            "image_features": img_embed,
-            "text_features": txt_embed,
+            "image_features": image_latent,
+            "text_features": text_latent,
             "logits": logits,
-            "logit_scale": jnp.exp(self.clip.logit_scale),
+            "labels": labels,
+            "logit_scale": jnp.exp(self.logit_scale),
         }
 
 
-def coca_loss(out: dict, text: jnp.ndarray, caption_weight: float = 2.0,
+def coca_loss(out: dict, text: jnp.ndarray = None, caption_weight: float = 2.0,
               contrastive_weight: float = 1.0, pad_id: int = 0):
     """Contrastive + shifted caption CE (reference `CoCaLoss`,
-    `src/open_clip/loss.py:134-173`)."""
+    `src/open_clip/loss.py:134-173`). `text` defaults to out["labels"]."""
     from clipself_tpu.train.contrastive import clip_loss
 
     con = clip_loss(out["image_features"], out["text_features"], out["logit_scale"])
+    labels = out["labels"] if text is None else text[:, -out["logits"].shape[1]:]
     logits = out["logits"][:, :-1]
-    labels = text[:, 1:]
+    labels = labels[:, 1:]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     mask = (labels != pad_id).astype(jnp.float32)
@@ -275,16 +313,21 @@ def generate(
     `CoCa.generate` top_k/top_p paths, `coca_model.py:232-343`): greedy when
     top_k == 0 and top_p == 0, top-k sampling, or nucleus (top-p) sampling;
     runs as a `lax.scan` over positions with a static-length token buffer
-    (TPU-friendly — no dynamic shapes, one compile).
-    """
+    (TPU-friendly — no dynamic shapes, one compile). The decoder consumes the
+    unimodal stream with embed_cls=False, exactly as the reference's
+    generation loop does (`coca_model.py:259`)."""
     b = image.shape[0]
     tokens0 = jnp.full((b, max_len), model.pad_id, jnp.int32).at[:, 0].set(sot_id)
 
     # the vision trunk is loop-invariant: encode ONCE, decode per step
-    _, img_tokens = model.apply({"params": params}, image, method="_image_tokens")
+    _, img_tokens = model.apply(
+        {"params": params}, image, method="_encode_image"
+    )
 
     def logits_fn(tokens):
-        return model.apply({"params": params}, img_tokens, tokens, method="decode_text")
+        return model.apply(
+            {"params": params}, img_tokens, tokens, method="decode_text"
+        )
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -320,7 +363,9 @@ def generate(
         nxt = jnp.where(pos == max_len - 1, eot_id, nxt)
         nxt = jnp.where(done, model.pad_id, nxt).astype(jnp.int32)
         tokens = tokens.at[:, pos].set(nxt)
-        done = done | (nxt == eot_id)
+        # a sampled pad ALSO terminates the row, with no appended EOT
+        # (reference `coca_model.py:260`: mask = last==eos | last==pad)
+        done = done | (nxt == eot_id) | (nxt == model.pad_id)
         return (tokens, done, key), None
 
     (tokens, _, _), _ = jax.lax.scan(
@@ -367,7 +412,7 @@ def beam_search(
     scores0 = jnp.where(jnp.arange(k) % sub == 0, 0.0, -1e9)
     scores0 = jnp.broadcast_to(scores0, (b, k)).astype(jnp.float32)
     # encode each image ONCE; beams share the repeated caption tokens
-    _, img_tokens = model.apply({"params": params}, image, method="_image_tokens")
+    _, img_tokens = model.apply({"params": params}, image, method="_encode_image")
     img_tokens_rep = jnp.repeat(img_tokens, k, axis=0)
 
     def logits_fn(tokens):

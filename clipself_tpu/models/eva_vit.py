@@ -466,6 +466,15 @@ class EvaViT(nn.Module):
             t = blk(t, grid, bias, seg, pos_idx)
         return self.norm(t[:, :n]).astype(self.dtype)
 
+    def forward_pooled(self, x: jnp.ndarray):
+        """(pooled [B, embed_dim], tokens [B, K, width]) — EVA analogue of
+        the plain ViT's output_tokens path (`transformer.py:480-494`): pooled
+        is the projected CLS embedding, tokens are the final-norm patch
+        tokens. Used by CoCa when built over an EVA tower (an extension; the
+        reference only builds CoCa over the plain VisionTransformer)."""
+        t = self.forward_tokens(x)
+        return self.head(t[:, 0]), t[:, 1:]
+
     def encode_dense(self, x: jnp.ndarray, keep_shape: bool = True) -> jnp.ndarray:
         """Dense patch-token feature map: blocks[:-1] normally, final block
         without attention, drop CLS, norm + head, L2-normalize

@@ -73,14 +73,23 @@ def create_model(
       (module, params) — params is a FrozenDict pytree or None.
     """
     cfg = get_model_config(name_or_cfg) if isinstance(name_or_cfg, str) else name_or_cfg
-    model = CLIP(cfg, dtype=dtype, attn_impl=attn_impl, remat=remat)
+    if cfg.multimodal is not None:
+        # a multimodal decoder config makes the model a CoCa (reference
+        # `src/open_clip/factory.py:215-230` keys on "multimodal_cfg")
+        from clipself_tpu.models.coca import CoCa
+
+        model = CoCa(cfg, dtype=dtype, attn_impl=attn_impl, remat=remat)
+        txt_len = cfg.text.context_length + 1  # embed_cls truncates by one
+    else:
+        model = CLIP(cfg, dtype=dtype, attn_impl=attn_impl, remat=remat)
+        txt_len = cfg.text.context_length
     if not init and pretrained is None:
         return model, None
 
     def _init():
         rng = jax.random.PRNGKey(seed)
         img = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3), dtype)
-        txt = jnp.zeros((1, cfg.text.context_length), jnp.int32)
+        txt = jnp.zeros((1, txt_len), jnp.int32)
         return model.init(rng, img, txt)["params"]
 
     params = jax.eval_shape(_init) if pretrained else jax.jit(_init)()
@@ -141,7 +150,11 @@ def get_tokenizer(name_or_cfg: Any = None):
         return _tok.HFTokenizer(hf_name)
     import functools
 
-    return functools.partial(_tok.tokenize, context_length=cfg.text.context_length)
+    # CoCa configs declare context_length=76 but consume 77 tokens (the
+    # model truncates one slot for the CLS embed; the reference uses the
+    # default 77-token `tokenize` for them)
+    ctx = cfg.text.context_length + (1 if cfg.multimodal is not None else 0)
+    return functools.partial(_tok.tokenize, context_length=ctx)
 
 
 def create_model_and_transforms(

@@ -151,6 +151,25 @@ class HFTextTower(nn.Module):
         pooled = self.pooler(out, attention_mask)
         return self.projection(pooled)
 
+    def forward_tokens(self, input_ids: jnp.ndarray):
+        """(projected pooled, per-token hidden states) — the reference
+        output_tokens path (`src/open_clip/hf_model.py:137-153`): tokens are
+        the trunk's last hidden state, with the CLS slot dropped when the
+        pooler is a ClsPooler. Used by CoCa's multimodal decoder."""
+        pad_id = getattr(self.hf_config, "pad_token_id", None)
+        attention_mask = (input_ids != (0 if pad_id is None else pad_id)).astype(jnp.int32)
+        kwargs = {}
+        if getattr(self.hf_config, "model_type", None) in self._PAD_OFFSET_POSITIONS:
+            p = 0 if pad_id is None else pad_id
+            pad_mask = (input_ids != p).astype(jnp.int32)
+            kwargs["position_ids"] = jnp.cumsum(pad_mask, axis=1) * pad_mask + p
+        out = self.trunk(input_ids=input_ids, attention_mask=attention_mask, **kwargs)
+        pooled = self.projection(self.pooler(out, attention_mask))
+        hidden = out.last_hidden_state
+        if isinstance(self.pooler, ClsPooler):
+            hidden = hidden[:, 1:]
+        return pooled, hidden
+
 
 def load_hf_trunk_params(clip_params, hf_trunk_params):
     """Graft pretrained HF trunk weights into a CLIP param tree.

@@ -144,10 +144,28 @@ class OpenCLIPViT(nn.Module):
             CLIPBlock(c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"resblocks_{i}")
             for i in range(c.layers)
         ]
-        self.ln_post = _layer_norm("ln_post")
-        self.proj = self.param(
-            "proj", nn.initializers.normal(scale), (c.width, self.embed_dim), jnp.float32
-        )
+        if c.attentional_pool:
+            # CoCa tower (reference `transformer.py:380-384`): pooler queries
+            # live in embed_dim space, ln_post normalizes embed_dim, and the
+            # projection is square
+            from clipself_tpu.models.common import AttentionalPooler
+
+            self.attn_pool = AttentionalPooler(
+                d_model=self.embed_dim, context_dim=c.width,
+                n_head=c.attn_pooler_heads, n_queries=c.n_queries,
+                dtype=self.dtype, name="attn_pool",
+            )
+            self.ln_post = _layer_norm("ln_post")
+            self.proj = self.param(
+                "proj", nn.initializers.normal(scale),
+                (self.embed_dim, self.embed_dim), jnp.float32,
+            )
+        else:
+            self.attn_pool = None
+            self.ln_post = _layer_norm("ln_post")
+            self.proj = self.param(
+                "proj", nn.initializers.normal(scale), (c.width, self.embed_dim), jnp.float32
+            )
 
     # ---- embedding ----------------------------------------------------
 
@@ -180,11 +198,26 @@ class OpenCLIPViT(nn.Module):
     # ---- public protocol ----------------------------------------------
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.forward_pooled(x)[0]
+
+    def forward_pooled(self, x: jnp.ndarray):
+        """(pooled [B, embed_dim], tokens) — the reference forward with
+        output_tokens (`transformer.py:443-494`): with attentional pooling the
+        trunk output is pooled to n_queries tokens, ln_post runs on ALL of
+        them, and (pooled, tokens) = (x[:, 0] @ proj, x[:, 1:]); without it,
+        ln_post runs on the pooled CLS only and tokens are the raw patch
+        tokens."""
         t, _ = self.embed(x)
         for blk in self.blocks:
             t = blk(t)
-        pooled = self.ln_post(t[:, 0]).astype(self.dtype)
-        return pooled @ self.proj.astype(pooled.dtype)
+        if self.attn_pool is not None:
+            t = self.attn_pool(t)
+            t = self.ln_post(t).astype(self.dtype)
+            pooled, tokens = t[:, 0], t[:, 1:]
+        else:
+            pooled, tokens = t[:, 0], t[:, 1:]
+            pooled = self.ln_post(pooled).astype(self.dtype)
+        return pooled @ self.proj.astype(pooled.dtype), tokens
 
     def forward_tokens(self, x: jnp.ndarray) -> jnp.ndarray:
         """Final-norm token sequence [B, 1+gh*gw, width] (CLS first) for

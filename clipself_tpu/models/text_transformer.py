@@ -83,10 +83,20 @@ class TextTransformer(nn.Module):
         self.token_embedding = nn.Embed(
             c.vocab_size, c.width, param_dtype=jnp.float32, name="token_embedding"
         )
+        # embed_cls (CoCa text tower, reference `transformer.py:911-915`):
+        # one learned CLS token is appended at the END of the sequence, so the
+        # positional table carries context_length + 1 rows
+        num_pos = c.context_length + (1 if c.embed_cls else 0)
+        if c.embed_cls:
+            self.cls_emb = self.param(
+                "cls_emb", nn.initializers.normal(0.01), (c.width,), jnp.float32
+            )
+        else:
+            self.cls_emb = None
         self.positional_embedding = self.param(
             "positional_embedding",
             nn.initializers.normal(0.01),
-            (c.context_length, c.width),
+            (num_pos, c.width),
             jnp.float32,
         )
         self.blocks = [
@@ -115,6 +125,38 @@ class TextTransformer(nn.Module):
         for blk in self.blocks:
             x = blk(x, mask)
         return self.ln_final(x).astype(self.dtype)
+
+    def forward_coca(self, text: jnp.ndarray):
+        """(pooled [B, embed_dim], tokens [B, L, width]) — the reference
+        embed_cls forward (`transformer.py:985-1016`): the learned CLS token
+        is appended AFTER the text, its attention row masks out pad columns
+        (`build_cls_mask`, `transformer.py:974-981` — replicated literally,
+        including the one-column shift from the prepended always-visible
+        column), pooling reads the CLS position through ln_final + projection,
+        and the caption token stream is returned WITHOUT ln_final."""
+        c = self.cfg
+        if self.cls_emb is None:
+            # non-embed_cls tower (reference `transformer.py:1007-1010`):
+            # ln_final over ALL tokens, argmax (EOT) pooling; the token
+            # stream keeps the final LN in this branch
+            feats = self.features(text)
+            return self.project(feats, text), feats
+        b, n = text.shape
+        seq = n + 1
+        x = self.token_embedding(text).astype(self.dtype)
+        cls_tok = jnp.broadcast_to(self.cls_emb.astype(self.dtype), (b, 1, c.width))
+        x = jnp.concatenate([x, cls_tok], axis=1)
+        x = x + self.positional_embedding[:seq].astype(self.dtype)
+        causal = jnp.triu(jnp.full((seq, seq), -jnp.inf, jnp.float32), k=1)
+        vis = jnp.where(text != c.pad_id, 0.0, -jnp.inf).astype(jnp.float32)
+        last_row = jnp.concatenate([jnp.zeros((b, 1), jnp.float32), vis], axis=1)
+        cls_mask = jnp.zeros((b, seq, seq), jnp.float32).at[:, -1, :].set(last_row)
+        mask = (causal[None] + cls_mask)[:, None]
+        for blk in self.blocks:
+            x = blk(x, mask)
+        pooled = self.ln_final(x[:, -1]).astype(self.dtype)
+        tokens = x[:, :-1]
+        return pooled @ self.text_projection.astype(pooled.dtype), tokens
 
     def project(self, feats: jnp.ndarray, text: jnp.ndarray) -> jnp.ndarray:
         """EOT-pool (highest token id position) + projection."""

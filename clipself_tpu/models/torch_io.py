@@ -146,11 +146,30 @@ def _vision_key_map(flax_key: tuple[str, ...], cfg: CLIPConfig):
         if rest[0] in ("q_proj", "k_proj", "v_proj", "c_proj"):
             t = "linear" if rest[1] == "kernel" else None
             return f"visual.attnpool.{rest[0]}.{'weight' if t else 'bias'}", t
+    # --- CoCa attentional pooler (torch nn.MultiheadAttention with
+    # kdim != embed_dim: separate q/k/v proj weights, one packed bias) ---
+    if k[0] == "attn_pool":
+        rest = k[1:]
+        base = "visual.attn_pool"
+        if rest == ["query"]:
+            return f"{base}.query", None
+        if rest[0] in ("ln_q", "ln_k"):
+            return f"{base}.{rest[0]}.{'weight' if rest[1] == 'scale' else 'bias'}", None
+        if rest[0] in ("q_proj", "k_proj", "v_proj"):
+            idx = {"q_proj": 0, "k_proj": 1, "v_proj": 2}[rest[0]]
+            if rest[1] == "kernel":
+                return f"{base}.attn.{rest[0]}_weight", "linear"
+            return f"{base}.attn.in_proj_bias", ("slice", idx)
+        if rest[0] == "out_proj":
+            t = "linear" if rest[1] == "kernel" else None
+            return f"{base}.attn.out_proj.{'weight' if t else 'bias'}", t
     raise KeyError(f"unmapped vision param: {flax_key}")
 
 
 def _text_key_map(flax_key: tuple[str, ...]):
     k = list(flax_key)
+    if k == ["cls_emb"]:
+        return "text.cls_emb", None
     if k == ["token_embedding", "embedding"]:
         return "text.token_embedding.weight", None
     if k == ["positional_embedding"]:
@@ -184,11 +203,48 @@ def _text_key_map(flax_key: tuple[str, ...]):
     raise KeyError(f"unmapped text param: {flax_key}")
 
 
+def _decoder_key_map(flax_key: tuple[str, ...]):
+    """CoCa multimodal decoder (reference `MultimodalTransformer` state-dict
+    layout: text_decoder.resblocks.{i} self blocks, text_decoder.cross_attn.{i}
+    cross blocks with torch-packed in_proj, ln_final, text_projection)."""
+    k = list(flax_key)
+    ln = {"scale": "weight", "bias": "bias"}
+    if k == ["text_projection"]:
+        return "text_decoder.text_projection", None
+    if k[0] == "ln_final":
+        return f"text_decoder.ln_final.{ln[k[1]]}", None
+    m = re.match(r"resblocks_(\d+)", k[0])
+    if m:
+        # identical sub-layout to the text tower's resblocks
+        tkey, t = _text_key_map(tuple(flax_key))
+        return tkey.replace("text.transformer.", "text_decoder."), t
+    m = re.match(r"cross_attn_(\d+)", k[0])
+    if m:
+        base = f"text_decoder.cross_attn.{m.group(1)}"
+        rest = k[1:]
+        if rest[0] in ("ln_1", "ln_1_kv", "ln_2"):
+            return f"{base}.{rest[0]}.{ln[rest[1]]}", None
+        if rest[0] in ("q_proj", "k_proj", "v_proj"):
+            idx = {"q_proj": 0, "k_proj": 1, "v_proj": 2}[rest[0]]
+            if rest[1] == "kernel":
+                return f"{base}.attn.in_proj_weight", ("linear_slice", idx)
+            return f"{base}.attn.in_proj_bias", ("slice", idx)
+        if rest[0] == "out_proj":
+            t = "linear" if rest[1] == "kernel" else None
+            return f"{base}.attn.out_proj.{'weight' if t else 'bias'}", t
+        if rest[0] in ("c_fc", "c_proj"):
+            t = "linear" if rest[1] == "kernel" else None
+            return f"{base}.mlp.{rest[0]}.{'weight' if t else 'bias'}", t
+    raise KeyError(f"unmapped decoder param: {flax_key}")
+
+
 def flax_to_torch_key(flax_key: tuple[str, ...], cfg: CLIPConfig):
     if flax_key[0] == "visual":
         return _vision_key_map(tuple(flax_key[1:]), cfg)
     if flax_key[0] == "text":
         return _text_key_map(tuple(flax_key[1:]))
+    if flax_key[0] == "text_decoder":
+        return _decoder_key_map(tuple(flax_key[1:]))
     if flax_key == ("logit_scale",):
         return "logit_scale", None
     raise KeyError(f"unmapped param: {flax_key}")
@@ -370,7 +426,15 @@ def import_state_dict(sd: dict, params: Any, cfg: CLIPConfig, strict: bool = Fal
             continue
         arr = np.asarray(sd[tkey], dtype=np.float32)
         used.add(tkey)
-        if transform == "linear":
+        if isinstance(transform, tuple):
+            # torch-packed q/k/v rows: ("slice", i) on 1D biases,
+            # ("linear_slice", i) on 2D in_proj weights (slice then transpose)
+            kind, idx = transform
+            third = arr.shape[0] // 3
+            arr = arr[idx * third : (idx + 1) * third]
+            if kind == "linear_slice":
+                arr = arr.T
+        elif transform == "linear":
             arr = arr.T
         elif transform == "conv":
             arr = arr.transpose(2, 3, 1, 0)
@@ -393,14 +457,23 @@ def export_state_dict(params: Any, cfg: CLIPConfig) -> dict[str, np.ndarray]:
     """Flax params -> reference-layout numpy state dict (for F-ViT interop)."""
     flat = _flatten(params)
     out = {}
+    parts: dict[str, dict[int, np.ndarray]] = {}
     for path, val in flat.items():
         tkey, transform = flax_to_torch_key(path, cfg)
         arr = np.asarray(val, dtype=np.float32)
+        if isinstance(transform, tuple):
+            # reassemble torch-packed q/k/v keys from the three slices
+            kind, idx = transform
+            parts.setdefault(tkey, {})[idx] = arr.T if kind == "linear_slice" else arr
+            continue
         if transform == "linear":
             arr = arr.T
         elif transform == "conv":
             arr = arr.transpose(3, 2, 0, 1)
         out[tkey] = arr
+    for tkey, pieces in parts.items():
+        assert sorted(pieces) == [0, 1, 2], f"incomplete packed param {tkey}"
+        out[tkey] = np.concatenate([pieces[0], pieces[1], pieces[2]], axis=0)
     return out
 
 

@@ -119,10 +119,21 @@ def test_trunk_adapter_dense_protocol():
 
 @pytest.fixture(scope="module")
 def coca_setup():
+    import dataclasses
+
+    from clipself_tpu.core.config import MultimodalConfig
     from clipself_tpu.models.coca import CoCa
 
-    cfg = get_model_config("EVA02-CLIP-Tiny-Test")
-    model = CoCa(cfg, multimodal_layers=2, caption_queries=7, dtype=jnp.float32)
+    base = get_model_config("EVA02-CLIP-Tiny-Test")
+    cfg = dataclasses.replace(
+        base,
+        text=dataclasses.replace(base.text, embed_cls=True, context_length=16),
+        multimodal=MultimodalConfig(
+            context_length=16, vocab_size=base.text.vocab_size,
+            width=base.text.width, heads=2, layers=2,
+        ),
+    )
+    model = CoCa(cfg, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
     txt = jnp.asarray(rng.integers(1, cfg.text.vocab_size, (2, 16)), jnp.int32)
@@ -137,7 +148,9 @@ def test_coca_forward_and_loss(coca_setup):
     out = jax.jit(lambda p: model.apply({"params": p}, img, txt))(params)
     assert out["image_features"].shape == (2, cfg.embed_dim)
     assert out["text_features"].shape == (2, cfg.embed_dim)
-    assert out["logits"].shape == (2, 16, cfg.text.vocab_size)
+    # embed_cls truncates one slot for the CLS token (reference
+    # `coca_model.py:137`), so the caption stream is context-1 long
+    assert out["logits"].shape == (2, 15, cfg.text.vocab_size)
     loss, metrics = coca_loss(out, txt)
     assert np.isfinite(float(loss))
     assert float(metrics["caption_loss"]) > 0

@@ -957,3 +957,175 @@ def test_openclip_layerscale_golden():
     np.testing.assert_allclose(
         np.asarray(got_dense), want_dense.numpy(), atol=2e-4, rtol=1e-3
     )
+
+
+def _install_open_clip_abs_stub():
+    """`modified_resnet.py`/`timm_model.py` use absolute `open_clip.utils`
+    imports; provide the one function they need."""
+    if "open_clip" not in sys.modules:
+        oc = types.ModuleType("open_clip")
+        oc.__path__ = []
+        utils = types.ModuleType("open_clip.utils")
+        utils.freeze_batch_norm_2d = lambda m, *a, **k: None
+        oc.utils = utils
+        sys.modules["open_clip"] = oc
+        sys.modules["open_clip.utils"] = utils
+
+
+def test_coca_forward_golden():
+    """Our CoCa against the ACTUAL reference `CoCa` (`coca_model.py:80-166`):
+    attentional-pool visual tower, embed_cls text tower, multimodal decoder —
+    full forward dict (image/text features + caption logits) after state-dict
+    import, plus greedy generation agreement."""
+    _install_open_clip_abs_stub()
+    cm = _ref_module("ref_oc", REF, "coca_model")
+    torch.manual_seed(11)
+    vision_cfg = dict(
+        image_size=32, layers=2, width=64, head_width=32, patch_size=8,
+        mlp_ratio=4.0, attentional_pool=True, n_queries=8,
+        attn_pooler_heads=2, output_tokens=True,
+    )
+    text_cfg = dict(
+        context_length=12, vocab_size=64, width=48, heads=2, layers=2,
+        embed_cls=True, output_tokens=True,
+    )
+    multimodal_cfg = dict(
+        context_length=12, vocab_size=64, width=48, heads=2, layers=2,
+    )
+    ref = cm.CoCa(
+        embed_dim=48, multimodal_cfg=dict(multimodal_cfg),
+        text_cfg=dict(text_cfg), vision_cfg=dict(vision_cfg),
+    ).eval()
+
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import config_from_dict
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    cfg = config_from_dict(
+        dict(
+            embed_dim=48, vision_cfg=vision_cfg, text_cfg=text_cfg,
+            multimodal_cfg=multimodal_cfg,
+        ),
+        name="tiny-coca-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=True)
+
+    rng = np.random.default_rng(12)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    text = np.zeros((2, 13), np.int64)
+    for i, n in enumerate((6, 10)):
+        text[i, 0] = 1
+        text[i, 1:n] = rng.integers(3, 62, size=n - 1)
+        text[i, n - 1] = 63
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img).permute(0, 3, 1, 2), torch.from_numpy(text))
+    got = model.apply({"params": params}, jnp.asarray(img), jnp.asarray(text, jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(got["image_features"]), want["image_features"].numpy(),
+        atol=2e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["text_features"]), want["text_features"].numpy(),
+        atol=2e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["logits"]), want["logits"].numpy(), atol=5e-4, rtol=1e-3
+    )
+    np.testing.assert_array_equal(np.asarray(got["labels"]), want["labels"].numpy())
+
+
+def test_coca_generation_golden():
+    """Greedy sampling agreement with the reference generation loop
+    (`coca_model.py:232-287`, generation_type=top_k with k=1): same tokens
+    step for step, incl. the min-length EOT ban and forced terminal EOT.
+
+    The installed transformers no longer exports BeamSearchScorer, so the
+    reference's `generate` refuses to run; the test drives the reference
+    MODEL through a literal transcription of its greedy sampling loop
+    (`coca_model.py:254-287`) with the two trivial HF processors
+    (MinLength ban, top-1 warp) inlined."""
+    _install_open_clip_abs_stub()
+    cm = _ref_module("ref_oc", REF, "coca_model")
+    torch.manual_seed(33)
+    vision_cfg = dict(
+        image_size=32, layers=1, width=64, head_width=32, patch_size=8,
+        mlp_ratio=4.0, attentional_pool=True, n_queries=8,
+        attn_pooler_heads=2, output_tokens=True,
+    )
+    text_cfg = dict(
+        context_length=12, vocab_size=64, width=48, heads=2, layers=1,
+        embed_cls=True, output_tokens=True,
+    )
+    multimodal_cfg = dict(
+        context_length=12, vocab_size=64, width=48, heads=2, layers=1,
+    )
+    ref = cm.CoCa(
+        embed_dim=48, multimodal_cfg=dict(multimodal_cfg),
+        text_cfg=dict(text_cfg), vision_cfg=dict(vision_cfg),
+    ).eval()
+
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import config_from_dict
+    from clipself_tpu.models.coca import generate
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    cfg = config_from_dict(
+        dict(
+            embed_dim=48, vision_cfg=vision_cfg, text_cfg=text_cfg,
+            multimodal_cfg=multimodal_cfg,
+        ),
+        name="tiny-coca-gen-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_state_dict(sd, dict(params), cfg, strict=True)
+
+    rng = np.random.default_rng(22)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    sot, eot = 1, 2
+    seq_len = 8
+    pad = 0
+    min_seq_len = 3
+    with torch.no_grad():
+        timg = torch.from_numpy(img).permute(0, 3, 1, 2)
+        image_latent, image_embs = ref._encode_image(timg)
+        out = torch.full((2, 1), sot, dtype=torch.long)
+        while True:
+            x = out[:, -77:]
+            cur_len = x.shape[1]
+            logits = ref(
+                timg, x, image_latent=image_latent, image_embs=image_embs,
+                embed_cls=False,
+            )["logits"][:, -1]
+            mask = (out[:, -1] == eot) | (out[:, -1] == pad)
+            sample = torch.full((out.shape[0], 1), pad, dtype=torch.long)
+            if mask.all():
+                break
+            flt = logits[~mask, :]
+            if cur_len < min_seq_len:  # MinLengthLogitsProcessor
+                flt[:, eot] = -float("inf")
+            if cur_len + 1 == seq_len:
+                sample[~mask, :] = eot
+            else:
+                # TopKLogitsWarper(k=1) + multinomial == argmax
+                sample[~mask, :] = flt.argmax(-1, keepdim=True)
+            out = torch.cat((out, sample), dim=-1)
+            if out.shape[1] >= seq_len:  # MaxLengthCriteria
+                break
+        # fixed_output_length=True semantics (`coca_model.py:224-229`)
+        if out.shape[1] < seq_len:
+            out = torch.cat(
+                (out, torch.full((out.shape[0], seq_len - out.shape[1]), pad,
+                                 dtype=out.dtype)), dim=1)
+        want = out
+    got = generate(
+        model, params, jnp.asarray(img), sot_id=sot, eot_id=eot,
+        max_len=seq_len, min_len=3,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want.numpy())
