@@ -62,6 +62,15 @@ class VisionConfig:
     # when set, the tower is a CLIP ModifiedResNet with these stage depths
     # (the reference keys this on `layers` being a list, model.py:143-151)
     resnet_layers: Optional[Tuple[int, ...]] = None
+    # timm-trunk tower (reference `timm_model.py:29-239` + the convnext
+    # config family): when timm_model_name is set the tower is our native
+    # ConvNeXt (convnext_* names) with the TimmModel head/protocol
+    timm_model_name: Optional[str] = None
+    timm_model_pretrained: bool = False
+    timm_pool: str = ""
+    timm_proj: str = "linear"
+    timm_drop: float = 0.0
+    timm_drop_path: Optional[float] = None
     ln_eps: float = 1e-6
 
     @property

@@ -36,7 +36,11 @@ class CLIP(nn.Module):
 
     def setup(self):
         extra = {}
-        if self.cfg.vision.eva_model_name:
+        if self.cfg.vision.timm_model_name:
+            from clipself_tpu.models.convnext import ConvNeXtTower
+
+            visual_cls = ConvNeXtTower
+        elif self.cfg.vision.eva_model_name:
             visual_cls = EvaViT
         elif self.cfg.vision.resnet_layers:
             from clipself_tpu.models.modified_resnet import ModifiedResNet

@@ -120,6 +120,47 @@ def _vision_key_map(flax_key: tuple[str, ...], cfg: CLIPConfig):
             return f"{base}.mlp.{sub}.{'weight' if t else 'bias'}", t
         if rest[0] in ("gamma_1", "gamma_2"):
             return f"{base}.{rest[0]}", None
+    # --- ConvNeXt tower (timm state-dict layout used by the OpenCLIP
+    # convnext hub checkpoints: visual.trunk.* + visual.head.*) ---
+    ln = {"scale": "weight", "bias": "bias"}
+    if k[0] == "trunk":
+        rest = k[1:]
+        if rest[0] == "stem_conv":
+            return "visual.trunk.stem.0.weight" if rest[1] == "kernel" else "visual.trunk.stem.0.bias", (
+                "conv" if rest[1] == "kernel" else None
+            )
+        if rest[0] == "stem_norm":
+            return f"visual.trunk.stem.1.{ln[rest[1]]}", None
+        m = re.fullmatch(r"downsample_norm_(\d+)", rest[0])
+        if m:
+            return f"visual.trunk.stages.{m.group(1)}.downsample.0.{ln[rest[1]]}", None
+        m = re.fullmatch(r"downsample_conv_(\d+)", rest[0])
+        if m:
+            t = "conv" if rest[1] == "kernel" else None
+            return f"visual.trunk.stages.{m.group(1)}.downsample.1.{'weight' if t else 'bias'}", t
+        m = re.fullmatch(r"stage(\d+)_block(\d+)", rest[0])
+        if m:
+            base = f"visual.trunk.stages.{m.group(1)}.blocks.{m.group(2)}"
+            sub = rest[1:]
+            if sub[0] == "conv_dw":
+                t = "conv" if sub[1] == "kernel" else None
+                return f"{base}.conv_dw.{'weight' if t else 'bias'}", t
+            if sub[0] == "norm":
+                return f"{base}.norm.{ln[sub[1]]}", None
+            if sub[0] in ("mlp_fc1", "mlp_fc2"):
+                fc = "fc1" if sub[0] == "mlp_fc1" else "fc2"
+                t = "linear" if sub[1] == "kernel" else None
+                return f"{base}.mlp.{fc}.{'weight' if t else 'bias'}", t
+            if sub == ["gamma"]:
+                return f"{base}.gamma", None
+    if k[0] == "head_norm":
+        return f"visual.trunk.head.norm.{ln[k[1]]}", None
+    if k[0] == "proj" and k[1] == "kernel":
+        return "visual.head.proj.weight", "linear"
+    if k[0] in ("proj_fc1", "proj_fc2"):
+        fc = "fc1" if k[0] == "proj_fc1" else "fc2"
+        t = "linear" if k[1] == "kernel" else None
+        return f"visual.head.mlp.{fc}.{'weight' if t else 'bias'}", t
     # --- ModifiedResNet tower (visual.layer{s}.{i} torch layout) ---
     bn = {"scale": "weight", "bias": "bias", "mean": "running_mean", "var": "running_var"}
     if re.fullmatch(r"conv[23]", k[0]) and k[1] == "kernel":

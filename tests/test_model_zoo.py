@@ -421,3 +421,21 @@ def test_openai_resnet_config_inference():
     assert inferred.vision.width == cfg.vision.width
     assert inferred.vision.resnet_layers == cfg.vision.resnet_layers
     assert inferred.embed_dim == cfg.embed_dim
+
+
+def test_convnext_config_family_registered():
+    """The reference's convnext config family (11 JSONs, timm trunk) builds
+    through the factory (reference `model_configs/convnext_*.json` +
+    `timm_model.py:29-239`)."""
+    from clipself_tpu.core.config import get_model_config, list_models
+    from clipself_tpu.models.factory import create_model
+
+    names = [n for n in list_models() if n.startswith("convnext_")]
+    assert len(names) == 11
+    cfg = get_model_config("convnext_base_w")
+    assert cfg.embed_dim == 640 and cfg.vision.timm_model_name == "convnext_base"
+    assert cfg.vision.image_size == 256
+    model, params = create_model(cfg, init=False)
+    assert params is None  # module builds without eager init
+    cfg_d = get_model_config("convnext_large_d")
+    assert cfg_d.vision.timm_proj == "mlp"

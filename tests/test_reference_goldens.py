@@ -1129,3 +1129,271 @@ def test_coca_generation_golden():
         max_len=seq_len, min_len=3,
     )
     np.testing.assert_array_equal(np.asarray(got), want.numpy())
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXt / timm adapter goldens
+
+
+def _install_timm_convnext_stub(hf_model, num_features):
+    """Make the reference `timm_model.py` importable and give it a real
+    trunk: `timm.create_model` returns a wrapper with the timm ConvNeXt
+    INTERFACE (forward_features / forward_head / head.norm / head.drop /
+    reset_classifier) whose convnext math is transformers' torch
+    `ConvNextModel` — an implementation independent of ours."""
+    from collections import OrderedDict
+
+    class LayerNorm2d(torch.nn.Module):  # timm head norm (channels-first LN)
+        def __init__(self, c, eps=1e-6):
+            super().__init__()
+            self.weight = torch.nn.Parameter(torch.ones(c))
+            self.bias = torch.nn.Parameter(torch.zeros(c))
+            self.eps = eps
+
+        def forward(self, x):
+            u = x.mean(1, keepdim=True)
+            s = (x - u).pow(2).mean(1, keepdim=True)
+            x = (x - u) / torch.sqrt(s + self.eps)
+            return x * self.weight[:, None, None] + self.bias[:, None, None]
+
+    class TimmConvNeXtStub(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.hf = hf_model
+            self.num_features = num_features
+            self.default_cfg = {"pool_size": (2, 2)}
+            self.head = torch.nn.Sequential(OrderedDict([
+                ("global_pool", torch.nn.AdaptiveAvgPool2d(1)),
+                ("norm", LayerNorm2d(num_features)),
+                ("flatten", torch.nn.Flatten(1)),
+                ("drop", torch.nn.Dropout(0.0)),
+                ("fc", torch.nn.Identity()),
+            ]))
+
+        def reset_classifier(self, n, **kw):
+            self.head.fc = torch.nn.Identity()
+
+        def forward_features(self, x):
+            return self.hf(x).last_hidden_state  # raw final NCHW map
+
+        def forward_head(self, x):
+            return self.head(x)
+
+        def forward(self, x):
+            return self.forward_head(self.forward_features(x))
+
+    stub = TimmConvNeXtStub()
+
+    class Mlp(torch.nn.Module):  # timm Mlp for the 'mlp' proj head
+        def __init__(self, in_f, hidden, out_f, drop=(0.0, 0.0), bias=(True, True)):
+            super().__init__()
+            self.fc1 = torch.nn.Linear(in_f, hidden, bias=bias[0])
+            self.act = torch.nn.GELU()
+            self.fc2 = torch.nn.Linear(hidden, out_f, bias=bias[1])
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    timm = sys.modules["timm"]
+    timm.create_model = lambda name, **kw: stub
+    timm.models.layers.Mlp = Mlp
+    timm.layers.RotAttentionPool2d = object
+    timm.layers.AttentionPool2d = object
+    return stub
+
+
+def _hf_to_timm_keys(hf_sd):
+    """transformers ConvNextModel state-dict keys -> timm convnext layout
+    (the layout `torch_io` imports: trunk.stem/stages/blocks naming)."""
+    out = {}
+    for k, v in hf_sd.items():
+        k2 = (
+            k.replace("embeddings.patch_embeddings", "stem.0")
+            .replace("embeddings.layernorm", "stem.1")
+            .replace("downsampling_layer", "downsample")
+            .replace("encoder.stages", "stages")
+            .replace("layer_scale_parameter", "gamma")
+        )
+        import re as _re
+
+        k2 = _re.sub(r"\.layers\.(\d+)\.", r".blocks.\1.", k2)
+        k2 = (
+            k2.replace(".dwconv.", ".conv_dw.")
+            .replace(".layernorm.", ".norm.")
+            .replace(".pwconv1.", ".mlp.fc1.")
+            .replace(".pwconv2.", ".mlp.fc2.")
+        )
+        if k2.startswith("layernorm."):
+            continue  # HF final pooled-output LN; timm has head.norm instead
+        out[f"visual.trunk.{k2}"] = v.detach().numpy()
+    return out
+
+
+@pytest.fixture(scope="module", params=["linear", "mlp"])
+def convnext_pair(request):
+    """Reference TimmModel (HF-convnext trunk via the timm stub) + our
+    ConvNeXtTower with the same weights imported through torch_io."""
+    from transformers import ConvNextConfig, ConvNextModel
+
+    proj = request.param
+    depths, dims = (1, 1, 2, 1), (8, 16, 32, 64)
+    torch.manual_seed(7)
+    hf = ConvNextModel(ConvNextConfig(
+        depths=list(depths), hidden_sizes=list(dims), num_channels=3,
+        layer_norm_eps=1e-6, layer_scale_init_value=0.1,
+    )).eval()
+    with torch.no_grad():  # constant layer-scale gammas would mask errors
+        for name, prm in hf.named_parameters():
+            if "layer_scale_parameter" in name:
+                prm.uniform_(0.05, 0.4)
+
+    _install_stubs()
+    _install_open_clip_abs_stub()
+    stub = _install_timm_convnext_stub(hf, dims[-1])
+    tm = _ref_module("ref_oc", REF, "timm_model")
+    torch.manual_seed(8)
+    ref = tm.TimmModel(
+        "convnext_test", embed_dim=24, image_size=64, pool="", proj=proj,
+        drop=0.0, pretrained=False,
+    ).eval()
+    with torch.no_grad():
+        stub.head.norm.weight.uniform_(0.5, 1.5)
+        stub.head.norm.bias.normal_(0.0, 0.2)
+
+    import jax.numpy as jnp
+
+    import clipself_tpu.models.convnext as cn
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    cn.CONVNEXT_ARCHS.setdefault("convnext_test", (depths, dims))
+    cfg = CLIPConfig(
+        embed_dim=24,
+        vision=VisionConfig(image_size=64, timm_model_name="convnext_test",
+                            timm_proj=proj),
+        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
+        name="tiny-convnext-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = _hf_to_timm_keys(hf.state_dict())
+    sd["visual.trunk.head.norm.weight"] = stub.head.norm.weight.detach().numpy()
+    sd["visual.trunk.head.norm.bias"] = stub.head.norm.bias.detach().numpy()
+    for k, v in ref.head.state_dict().items():
+        sd[f"visual.head.{k}"] = v.detach().numpy()
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+    return ref, cfg, model, params
+
+
+def test_convnext_forward_golden(convnext_pair):
+    import jax.numpy as jnp
+
+    ref, cfg, model, params = convnext_pair
+    rng = np.random.default_rng(30)
+    img = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img).permute(0, 3, 1, 2))
+    got = model.apply({"params": params}, jnp.asarray(img), method="encode_image")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_convnext_encode_dense_golden(convnext_pair):
+    import jax.numpy as jnp
+
+    ref, cfg, model, params = convnext_pair
+    rng = np.random.default_rng(31)
+    img = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.encode_dense(torch.from_numpy(img).permute(0, 3, 1, 2))
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), False, True, method="encode_dense"
+    )  # [B, gh, gw, C]; reference returns NCHW
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(got), -1, 1), want.numpy(), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_convnext_roi_v1_golden(convnext_pair):
+    import jax.numpy as jnp
+
+    ref, cfg, model, params = convnext_pair
+    rng = np.random.default_rng(32)
+    img = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    boxes = np.asarray([
+        [[0.1, 0.2, 0.7, 0.9], [0.0, 0.0, 1.0, 1.0]],
+        [[0.3, 0.1, 0.6, 0.5], [0.2, 0.4, 0.95, 0.8]],
+    ], np.float32)
+    with torch.no_grad():
+        want = ref.extract_roi_features(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(b) for b in boxes], extract_type="v1",
+        )
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(boxes), False, "v1",
+        method="encode_pseudo_boxes",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1, 24), want.numpy(), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_convnext_roi_v2_and_mask_pool_golden(convnext_pair):
+    import jax.numpy as jnp
+
+    ref, cfg, model, params = convnext_pair
+    rng = np.random.default_rng(33)
+    img = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    boxes = np.asarray([[[0.1, 0.2, 0.8, 0.9], [0.25, 0.25, 0.75, 0.75]]], np.float32)
+    with torch.no_grad():
+        want = ref._extract_roi_features_v2(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(b) for b in boxes],
+        )
+    got = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(boxes), False, "v2",
+        method="encode_pseudo_boxes",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1, 24), want.numpy(), atol=5e-4, rtol=1e-3
+    )
+
+    masks = (rng.random(size=(1, 2, 2, 2)) > 0.4).astype(np.float32)
+    masks[0, 0] = 1.0  # ensure one non-empty
+    with torch.no_grad():
+        want_mp = ref.mask_pool(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(masks[0])],
+        )
+    got_mp = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(masks), False,
+        method="encode_masks",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_mp).reshape(-1, 24), want_mp.numpy(), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_convnext_rois_and_image_golden(convnext_pair):
+    import jax.numpy as jnp
+
+    ref, cfg, model, params = convnext_pair
+    rng = np.random.default_rng(34)
+    img = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    boxes = np.asarray([
+        [[0.0, 0.0, 0.5, 0.5]], [[0.4, 0.2, 0.9, 0.7]],
+    ], np.float32)
+    with torch.no_grad():
+        want_rois, want_img = ref.encode_rois_and_image(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            [torch.from_numpy(b) for b in boxes],
+        )
+    got_rois, got_img = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(boxes),
+        method="encode_rois_and_image",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_rois).reshape(-1, 24), want_rois.numpy(), atol=5e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_img), want_img.numpy(), atol=5e-4, rtol=1e-3
+    )
