@@ -109,6 +109,15 @@ def create_model(
             # existing local paths pass through verbatim
             path = resolve_pretrained(cfg.name, pretrained)
             params = load_pretrained(path, params, cfg)
+    if cfg.vision.timm_model_name and cfg.vision.timm_model_pretrained and not pretrained:
+        # the reference's --pretrained-image pulls the trunk's timm hub
+        # weights; offline we can only honor an explicit checkpoint path
+        import logging
+
+        logging.getLogger("clipself_tpu").warning(
+            "timm_model_pretrained is set but no weights source is reachable "
+            "offline; pass --pretrained <checkpoint> to load trunk weights"
+        )
     if cfg.text.hf_model_name:
         if hf_pretrained:
             from clipself_tpu.models.hf_text import load_hf_pretrained

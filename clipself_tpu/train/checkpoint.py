@@ -57,6 +57,15 @@ def save_checkpoint(
     return target
 
 
+def latest_epoch(ckpt_dir: str) -> Optional[int]:
+    """Newest saved epoch under a checkpoint dir (None when empty)."""
+    mgr = _manager(ckpt_dir)
+    try:
+        return mgr.latest_step()
+    finally:
+        mgr.close()
+
+
 def restore_checkpoint(ckpt_dir: str, state, epoch: Optional[int] = None):
     """Restore (state, epoch). Structure comes from the passed-in state."""
     mgr = _manager(ckpt_dir)

@@ -38,6 +38,16 @@ def parse_args(argv=None):
     p.add_argument("--attn-impl", default="auto", choices=["auto", "xla", "flash"])
     p.add_argument("--lock-image", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--lock-image-unlocked-groups", type=int, default=12)
+    p.add_argument("--lock-image-freeze-bn-stats", action="store_true",
+                   help="freeze BatchNorm running stats in unlocked image-tower "
+                        "groups (reference main.py:165; here stats live in the "
+                        "param tree, so 'freeze' masks them from the optimizer)")
+    p.add_argument("--force-patch-dropout", type=float, default=None,
+                   help="override the config's vision patch_dropout "
+                        "(reference factory.py:174-176)")
+    p.add_argument("--pretrained-image", action="store_true",
+                   help="load pretrained weights for the image trunk; timm "
+                        "towers only, as in the reference (factory.py:182-187)")
     # method
     p.add_argument("--dataset-type", default="grid_distill",
                    choices=["grid_distill", "proposals_distill", "region_clip"])
@@ -96,10 +106,17 @@ def parse_args(argv=None):
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 10-14 here")
     p.add_argument("--save-frequency", type=int, default=1)
+    p.add_argument("--save-most-recent", action="store_true",
+                   help="also keep a rolling latest checkpoint every epoch, "
+                        "independent of --save-frequency (reference "
+                        "main.py:323-328 epoch_latest.pt)")
     p.add_argument("--keep-checkpoints", type=int, default=None,
                    help="retain only the newest N checkpoints (reference "
                         "--delete-previous-checkpoint keeps 1)")
     p.add_argument("--zeroshot-frequency", type=int, default=1)
+    p.add_argument("--image-ave-pool", action="store_true",
+                   help="evaluator crop features = average-pooled dense map "
+                        "instead of encode_image (reference zero_shot.py:78)")
     p.add_argument("--export-torch", action="store_true",
                    help="also export each checkpoint in the PyTorch layout")
     p.add_argument("--log-every-n-steps", type=int, default=50)
@@ -228,6 +245,23 @@ def main(argv=None):
     from clipself_tpu.train.step import TrainState, make_train_step
 
     cfg = get_model_config(args.model)
+    import dataclasses
+
+    if args.force_patch_dropout is not None:
+        # override the config's patch dropout (reference factory.py:174-176)
+        cfg = dataclasses.replace(
+            cfg, vision=dataclasses.replace(
+                cfg.vision, patch_dropout=args.force_patch_dropout
+            ),
+        )
+    if args.pretrained_image:
+        # reference factory.py:182-187: timm towers only
+        assert cfg.vision.timm_model_name, (
+            "pretrained image towers currently only supported for timm models"
+        )
+        cfg = dataclasses.replace(
+            cfg, vision=dataclasses.replace(cfg.vision, timm_model_pretrained=True),
+        )
     args.input_size = cfg.vision.image_size
     args.downsample_factor = cfg.vision.patch_size
     if args.fsdp_size > 1 or args.tp_size > 1:
@@ -310,6 +344,7 @@ def main(argv=None):
         unlocked_groups=args.lock_image_unlocked_groups,
         num_layers=cfg.vision.layers, lock_image=args.lock_image,
         accum_steps=args.accum_freq,
+        freeze_bn_stats=args.lock_image_freeze_bn_stats,
     )
     state = TrainState.create(params, tx)
     start_epoch = 0
@@ -319,9 +354,21 @@ def main(argv=None):
                 "--resume auto needs --name (without it each run creates a "
                 "fresh timestamped dir, so there is nothing to resume from)"
             )
-        resume_dir = (
-            os.path.join(out_dir, "checkpoints") if args.resume == "auto" else args.resume
-        )
+        if args.resume == "auto":
+            # prefer whichever of the periodic and rolling-latest dirs holds
+            # the newest epoch (reference resume='latest' reads
+            # epoch_latest.pt when --save-most-recent is on)
+            candidates = [
+                os.path.join(out_dir, "checkpoints"),
+                os.path.join(out_dir, "checkpoints_latest"),
+            ]
+            resume_dir = max(
+                (d for d in candidates if os.path.isdir(d)),
+                key=lambda d: ckpt.latest_epoch(d) or -1,
+                default=candidates[0],
+            )
+        else:
+            resume_dir = args.resume
         if os.path.isdir(resume_dir):
             state, start_epoch = ckpt.restore_checkpoint(resume_dir, state)
             log.info(f"resumed from {resume_dir} at epoch {start_epoch}")
@@ -373,6 +420,7 @@ def main(argv=None):
 
         results = evaluate_zero_shot(
             model, eval_params, data["val"](), data["val_ds"].embeddings, mesh=mesh,
+            image_ave_pool=args.image_ave_pool, extract_type=args.extract_type,
             progress=True,
         )
         log.info(f"eval epoch {epoch}: {json.dumps(results)}")
@@ -445,6 +493,14 @@ def main(argv=None):
             target = (
                 student_teacher_ensemble(state.params, teacher_params, args.alpha)
                 if args.alpha < 1.0 else state.params
+            )
+        if args.save_most_recent:
+            # rolling latest: its own manager with max_to_keep=1, written
+            # every epoch regardless of --save-frequency (reference
+            # main.py:323-328 writes epoch_latest.pt atomically)
+            ckpt.save_checkpoint(
+                os.path.join(out_dir, "checkpoints_latest"), state,
+                teacher_params, completed, alpha=args.alpha, keep=1,
             )
         if args.zeroshot_frequency > 0 and completed % args.zeroshot_frequency == 0:
             run_eval(target, completed)

@@ -103,7 +103,13 @@ def no_decay_mask(params: Any) -> Any:
     return jtu.tree_map_with_path(decide, params)
 
 
-def trainable_labels(params: Any, unlocked_groups: int, num_layers: int, lock_image: bool = True) -> Any:
+def trainable_labels(
+    params: Any,
+    unlocked_groups: int,
+    num_layers: int,
+    lock_image: bool = True,
+    freeze_bn_stats: bool = False,
+) -> Any:
     """Label each leaf 'train' or 'freeze'.
 
     The text tower and logit_scale are always frozen (the loss detaches the
@@ -128,6 +134,13 @@ def trainable_labels(params: Any, unlocked_groups: int, num_layers: int, lock_im
     def decide(path, leaf):
         name = _path_str(path)
         if name.startswith("text/") or name == "logit_scale":
+            return "freeze"
+        if freeze_bn_stats and re.search(r"/(?:downsample_)?bn\d*/(?:mean|var)$", name):
+            # `--lock-image-freeze-bn-stats` (reference main.py:165): BN
+            # running stats stay at their pretrained values even inside
+            # unlocked groups. Here stats live in the param tree (torch keeps
+            # them as buffers that only forward-momentum updates touch), so
+            # freezing = masking them from the optimizer.
             return "freeze"
         if not lock_image:
             return "train"
@@ -166,6 +179,7 @@ def build_optimizer(
     num_layers: int = 12,
     lock_image: bool = True,
     accum_steps: int = 1,
+    freeze_bn_stats: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW with reference-parity decay mask and image-tower locking.
 
@@ -180,7 +194,8 @@ def build_optimizer(
     if grad_clip_norm is not None:
         adamw = optax.chain(optax.clip_by_global_norm(grad_clip_norm), adamw)
     labels = trainable_labels(
-        params, unlocked_groups=unlocked_groups, num_layers=num_layers, lock_image=lock_image
+        params, unlocked_groups=unlocked_groups, num_layers=num_layers,
+        lock_image=lock_image, freeze_bn_stats=freeze_bn_stats,
     )
     tx = optax.multi_transform(
         {"train": adamw, "freeze": optax.set_to_zero()}, labels

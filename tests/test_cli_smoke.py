@@ -192,3 +192,136 @@ def test_const_cooldown_scheduler(tmp_path):
             "--logs", str(tmp_path / "logs"),
         ]
     )
+
+
+def test_save_most_recent_and_resume_auto(tmp_path):
+    """--save-most-recent keeps a rolling latest checkpoint every epoch
+    (reference main.py:323-328), and --resume auto picks the newest epoch
+    across the periodic and rolling dirs."""
+    logs = str(tmp_path / "logs")
+    common = [
+        "--model", "EVA02-CLIP-Tiny-Test", "--synthetic",
+        "--steps-per-epoch", "2", "--det-image-size", "64",
+        "--batch-size", "8", "--max-boxes", "4", "--warmup", "1",
+        "--zeroshot-frequency", "0", "--precision", "fp32",
+        "--lock-image-unlocked-groups", "2", "--logs", logs,
+        "--name", "smr", "--save-most-recent",
+    ]
+    # save-frequency 5 > epochs: epoch 1 gets NO periodic save mid-run, but
+    # the rolling latest exists after every epoch
+    main(common + ["--epochs", "2", "--save-frequency", "5"])
+    out = os.path.join(logs, "smr")
+    latest_dir = os.path.join(out, "checkpoints_latest")
+    assert os.path.isdir(latest_dir)
+    from clipself_tpu.train.checkpoint import latest_epoch
+
+    assert latest_epoch(latest_dir) == 2
+    # rolling manager retains only the newest epoch
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(os.path.abspath(latest_dir))
+    assert list(mgr.all_steps()) == [2]
+    mgr.close()
+    # resume auto continues from the rolling dir's epoch
+    main(common + ["--epochs", "3", "--save-frequency", "5", "--resume", "auto"])
+    assert latest_epoch(latest_dir) == 3
+
+
+def test_force_patch_dropout_smoke(tmp_path):
+    """--force-patch-dropout overrides the config and trains through the
+    patch-dropout student path (reference factory.py:174-176)."""
+    logs = str(tmp_path / "logs")
+    main(
+        [
+            "--model", "EVA02-CLIP-Tiny-Test", "--synthetic",
+            "--force-patch-dropout", "0.5",
+            "--steps-per-epoch", "2", "--epochs", "1",
+            "--det-image-size", "64", "--batch-size", "8",
+            "--max-boxes", "4", "--warmup", "1",
+            "--zeroshot-frequency", "0", "--save-frequency", "0",
+            "--precision", "fp32", "--lock-image-unlocked-groups", "2",
+            "--name", "fpd", "--logs", logs,
+        ]
+    )
+    recorded = open(os.path.join(logs, "fpd", "params.txt")).read()
+    assert "force_patch_dropout: 0.5" in recorded
+
+
+def test_pretrained_image_requires_timm_tower():
+    """--pretrained-image is timm-towers-only, as in the reference
+    (factory.py:182-187 asserts)."""
+    import pytest
+
+    with pytest.raises(AssertionError, match="timm models"):
+        main(
+            [
+                "--model", "EVA02-CLIP-Tiny-Test", "--synthetic",
+                "--pretrained-image", "--steps-per-epoch", "1",
+                "--epochs", "1", "--batch-size", "8", "--precision", "fp32",
+            ]
+        )
+
+
+def test_freeze_bn_stats_labels():
+    """--lock-image-freeze-bn-stats masks BN running stats from the optimizer
+    even inside unlocked ResNet groups (reference main.py:165)."""
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.train.optim import trainable_labels
+
+    cfg = CLIPConfig(
+        embed_dim=48,
+        vision=VisionConfig(image_size=64, layers=4, width=8, head_width=64,
+                            patch_size=32, resnet_layers=(1, 1, 1, 1)),
+        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
+        name="tiny-rn-bn",
+    )
+    _, params = create_model(cfg, dtype=jnp.float32)
+    # all groups unlocked: without the flag, BN stats would train with their
+    # group; with it they stay frozen
+    free = trainable_labels(params, unlocked_groups=5, num_layers=4,
+                            freeze_bn_stats=False)
+    frozen = trainable_labels(params, unlocked_groups=5, num_layers=4,
+                              freeze_bn_stats=True)
+    assert free["visual"]["layer4_0"]["bn1"]["mean"] == "train"
+    assert frozen["visual"]["layer4_0"]["bn1"]["mean"] == "freeze"
+    assert frozen["visual"]["layer4_0"]["bn1"]["var"] == "freeze"
+    # learnable BN affine params still train
+    assert frozen["visual"]["layer4_0"]["bn1"]["scale"] == "train"
+    assert frozen["visual"]["layer4_0"]["downsample_bn"]["mean"] == "freeze"
+
+
+def test_image_ave_pool_eval(tmp_path, monkeypatch):
+    """--image-ave-pool reaches the evaluator (reference zero_shot.py:78);
+    the branch itself (dense-map mean + renormalize vs encode_image) is
+    exercised end-to-end and produces valid metrics."""
+    root = tmp_path
+    img_dir, seg_dir = _write_micro_coco(root)
+    logs = str(root / "logs")
+    common = [
+        "--model", "EVA02-CLIP-Tiny-Test",
+        "--val-data", str(root / "panoptic.json"),
+        "--val-image-root", str(img_dir),
+        "--val-segm-root", str(seg_dir),
+        "--embed-path", str(root / "emb.npy"),
+        "--det-image-size", "64", "--max-boxes", "4",
+        "--zeroshot-frequency", "1", "--precision", "fp32",
+        "--workers", "0", "--logs", logs,
+    ]
+    seen = {}
+    import clipself_tpu.eval.zero_shot as zs
+
+    real = zs.evaluate_zero_shot
+
+    def recording(*a, **kw):
+        seen["image_ave_pool"] = kw.get("image_ave_pool")
+        seen["extract_type"] = kw.get("extract_type")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(zs, "evaluate_zero_shot", recording)
+    main(common + ["--name", "avepool", "--image-ave-pool", "--extract-type", "v1"])
+    assert seen == {"image_ave_pool": True, "extract_type": "v1"}
+    results = json.loads(open(os.path.join(logs, "avepool", "results.jsonl")).read())
+    assert any("crop" in k for k in results)
