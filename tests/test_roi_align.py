@@ -130,3 +130,107 @@ def test_mask_pool():
     expected = feat[0, :2, :2].reshape(-1, 3).mean(0)
     np.testing.assert_allclose(out[0, 0], expected, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(out[0, 1], 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Analytic oracles — closed forms a correct aligned bilinear RoI-align MUST
+# produce, independent of any reimplementation of torchvision:
+#   - constant feature maps pool to the constant
+#   - for a LINEAR field f[i, j] = a*i + b*j + c, bilinear interpolation is
+#     exact, so each bin's adaptive-sample mean equals the field at the bin
+#     centroid: f(y0 + (oy+0.5)*bh - 0.5, x0 + (ox+0.5)*bw - 0.5) in box
+#     coordinates (the -0.5 is the aligned offset), provided every sample
+#     point stays inside [0, H-1] x [0, W-1] (no border clamping)
+
+
+def _linear_map(h, w, a, b, c):
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    return (a * ys + b * xs + c)[None, :, :, None]  # [1, H, W, 1]
+
+
+def test_roi_align_1x1_constant_and_linear_closed_form():
+    import jax.numpy as jnp
+
+    from clipself_tpu.ops.roi_align import roi_align_1x1
+
+    h = w = 16
+    a, b, c = 0.7, -0.3, 2.0
+    feats = np.concatenate(
+        [np.full((1, h, w, 1), 5.0, np.float32), _linear_map(h, w, a, b, c)], axis=-1
+    )
+    # boxes well inside the map (in feature coords), incl. fractional corners
+    boxes = np.asarray([[
+        [2.0, 3.0, 9.0, 12.0],
+        [1.25, 1.75, 13.5, 6.25],
+        [4.4, 8.1, 5.9, 9.3],     # sub-2-texel box
+        [6.5, 2.5, 8.5, 4.5],     # corners on texel centers
+    ]], np.float32)
+    got = np.asarray(roi_align_1x1(jnp.asarray(feats), jnp.asarray(boxes)))[0]
+    for i, (x0, y0, x1, y1) in enumerate(boxes[0]):
+        cy = (y0 + y1) / 2.0 - 0.5
+        cx = (x0 + x1) / 2.0 - 0.5
+        np.testing.assert_allclose(got[i, 0], 5.0, rtol=1e-5)
+        np.testing.assert_allclose(got[i, 1], a * cy + b * cx + c, rtol=1e-5)
+
+    # degenerate (zero-width) roi: the torchvision kernel runs ZERO samples
+    # and divides by max(count, 1) -> exactly 0 (not the field value)
+    degen = np.asarray([[[3.0, 3.0, 3.0, 9.0]]], np.float32)
+    got_d = np.asarray(roi_align_1x1(jnp.asarray(feats), jnp.asarray(degen)))[0, 0]
+    np.testing.assert_allclose(got_d, 0.0, atol=1e-7)
+
+
+def test_roi_align_nxn_linear_closed_form():
+    import jax.numpy as jnp
+
+    from clipself_tpu.ops.roi_align import roi_align_nxn
+
+    h = w = 20
+    a, b, c = -0.45, 1.2, 0.5
+    feats = _linear_map(h, w, a, b, c)
+    boxes = np.asarray([[[2.5, 4.0, 14.5, 16.0], [1.0, 1.0, 18.0, 7.5]]], np.float32)
+    oh = ow = 3
+    got = np.asarray(
+        roi_align_nxn(jnp.asarray(feats), jnp.asarray(boxes), (oh, ow))
+    )[0, :, :, :, 0]
+    for m, (x0, y0, x1, y1) in enumerate(boxes[0]):
+        bh = (y1 - y0) / oh
+        bw = (x1 - x0) / ow
+        for oy in range(oh):
+            for ox in range(ow):
+                cy = y0 - 0.5 + (oy + 0.5) * bh
+                cx = x0 - 0.5 + (ox + 0.5) * bw
+                np.testing.assert_allclose(
+                    got[m, oy, ox], a * cy + b * cx + c, rtol=1e-5
+                )
+
+
+def test_roi_align_texel_center_box_identity():
+    """A box whose aligned corners land exactly on texel centers with one
+    sample per bin reads the texel values verbatim: box (x0+0.5, y0+0.5,
+    x0+1.5, y0+1.5) in feature coords has aligned extent exactly 1 texel
+    starting at integer (y0, x0) -> single sample at the bin center = the
+    texel midpoint of a 2x2 patch... the 1-texel case reduces to the value
+    at (y0+0.5-0.5+0.5, .) = (y0+0.5): the midpoint between rows y0 and
+    y0+1. Use instead a 2-texel box whose samples hit integer coordinates:
+    box (x0+0.5, y0+0.5, x0+2.5, y0+2.5) with output 2x2 samples AT the
+    texel grid -> returns the 2x2 texel block exactly."""
+    import jax.numpy as jnp
+
+    from clipself_tpu.ops.roi_align import roi_align_nxn
+
+    rng = np.random.default_rng(9)
+    feats = rng.normal(size=(1, 12, 12, 3)).astype(np.float32)
+    y0, x0 = 4, 6
+    boxes = np.asarray([[[x0 + 0.5, y0 + 0.5, x0 + 2.5, y0 + 2.5]]], np.float32)
+    got = np.asarray(
+        roi_align_nxn(jnp.asarray(feats), jnp.asarray(boxes), (2, 2))
+    )[0, 0]
+    # aligned box = [y0, y0+2] x [x0, x0+2]; each 1x1 bin's single sample
+    # (ceil(2/2)=1 per axis) sits at the bin center (y0+0.5, ...): bilinear
+    # midpoint of a 2x2 texel block
+    want = np.zeros((2, 2, 3), np.float32)
+    for oy in range(2):
+        for ox in range(2):
+            blk = feats[0, y0 + oy : y0 + oy + 2, x0 + ox : x0 + ox + 2]
+            want[oy, ox] = blk.mean(axis=(0, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
