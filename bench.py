@@ -22,7 +22,74 @@ import numpy as np
 BASELINE_PER_CHIP = 250.0  # 2000 img/s on v5e-8 (BASELINE.md)
 
 
+def bench_loader():
+    """BENCH_LOADER=1: native C++ input-pipeline throughput, no TPU involved.
+
+    Writes N 1024x768-ish JPEGs once, then measures the full host-side
+    distill item transform (decode + antialiased det resize/pad to 1024^2 +
+    20 crop resizes to 224^2 + normalize) through the thread pool.
+    The requirement for the distill step to stay compute-bound on a v5e-8
+    host is ~8 x 13.6 ≈ 110 img/s (PERF.md)."""
+    import tempfile
+
+    from PIL import Image
+
+    from clipself_tpu.data.native_loader import NativePool, available
+
+    assert available(), "native loader failed to build"
+    n_images = int(os.environ.get("BENCH_LOADER_IMAGES", "256"))
+    threads = int(os.environ.get("BENCH_LOADER_THREADS", str(os.cpu_count() or 8)))
+    det, crop, m = 1024, 224, 20
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(min(n_images, 32)):  # 32 distinct files, cycled
+            arr = rng.integers(0, 255, size=(768, 1024, 3), dtype=np.uint8)
+            p = os.path.join(d, f"{i}.jpg")
+            Image.fromarray(arr).save(p, quality=90)
+            paths.append(p)
+        mean = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+        std = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+        boxes = np.stack([
+            rng.uniform(0, 400, size=m).astype(np.float32),
+            rng.uniform(0, 300, size=m).astype(np.float32),
+            rng.uniform(500, 1000, size=m).astype(np.float32),
+            rng.uniform(400, 760, size=m).astype(np.float32),
+        ], axis=1)
+        det_bufs = [np.zeros((det, det, 3), np.float32) for _ in range(n_images)]
+        crop_bufs = [np.zeros((m, crop, crop, 3), np.float32) for _ in range(n_images)]
+
+        pool = NativePool(threads)
+        # warmup one round
+        pool.submit_distill_item(paths[0], det_bufs[0], crop_bufs[0], boxes, mean, std)
+        assert pool.wait() == 0
+
+        t0 = time.perf_counter()
+        for i in range(n_images):
+            pool.submit_distill_item(
+                paths[i % len(paths)], det_bufs[i], crop_bufs[i], boxes, mean, std
+            )
+        errs = pool.wait()
+        dt = time.perf_counter() - t0
+        pool.close()
+        assert errs == 0, f"{errs} decode errors"
+        assert det_bufs[-1].any() and crop_bufs[-1].any()
+
+    ips = n_images / dt
+    result = {
+        "metric": f"images/sec/host, native loader distill transform "
+                  f"(decode+{det}px det+{m}x{crop}px crops, {threads} threads)",
+        "value": round(ips, 2),
+        "unit": "images/sec/host",
+        "vs_baseline": round(ips / 110.0, 4),  # 110 img/s/host requirement
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main():
+    if os.environ.get("BENCH_LOADER", "0") == "1":
+        return bench_loader()
     import jax
 
     # persistent compilation cache: repeated bench runs skip the (slow)

@@ -40,7 +40,10 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None:
         return _lib
     if not _LIB_PATH.exists():
-        return None
+        # build from source on first use — the library is NOT shipped as a
+        # binary (only native/loader.cc + Makefile are versioned)
+        if not build_native():
+            return None
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.csl_pool_create.restype = ctypes.c_void_p
     lib.csl_pool_create.argtypes = [ctypes.c_int]
