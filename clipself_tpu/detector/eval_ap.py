@@ -51,11 +51,17 @@ def _match_image(
     iou: np.ndarray,
     gt_ignore: np.ndarray,
     thrs: np.ndarray,
+    gt_crowd: Optional[np.ndarray] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Greedy matching per threshold.
+    """Greedy matching per threshold (pycocotools `evaluateImg` loop).
 
     Returns (tp [T, D], ignore_det [T, D]) in score-sorted det order.
+    Only CROWD gts may be matched by several dets (`gtm[tind, gind] > 0 and
+    not iscrowd[gind] -> continue` upstream); non-crowd ignored gts are
+    consumed like real ones.
     """
+    if gt_crowd is None:
+        gt_crowd = gt_ignore
     order = np.argsort(-det_scores, kind="stable")
     iou = iou[order]
     # gts sorted with ignored last (COCOeval convention: a det can only fall
@@ -63,6 +69,7 @@ def _match_image(
     gt_order = np.argsort(gt_ignore, kind="stable")
     iou = iou[:, gt_order]
     gt_ignore = gt_ignore[gt_order]
+    gt_crowd = gt_crowd[gt_order]
     d, g = iou.shape
     t = len(thrs)
     tp = np.zeros((t, d), bool)
@@ -73,7 +80,7 @@ def _match_image(
             best = min(thr, 1.0 - 1e-10)
             best_g = -1
             for gi in range(g):
-                if taken[gi] and not gt_ignore[gi]:
+                if taken[gi] and not gt_crowd[gi]:
                     continue
                 if best_g > -1 and not gt_ignore[best_g] and gt_ignore[gi]:
                     break  # already have a real match; ignored gts can't improve
@@ -82,11 +89,11 @@ def _match_image(
                 best = iou[di, gi]
                 best_g = gi
             if best_g > -1:
+                taken[best_g] = True
                 if gt_ignore[best_g]:
                     ign[ti, di] = True
                 else:
                     tp[ti, di] = True
-                    taken[best_g] = True
     return tp, ign
 
 
@@ -115,33 +122,43 @@ class DetectionEvaluator:
         gt_ignore: Optional[np.ndarray] = None,
         det_masks=None,
         gt_masks=None,
+        gt_crowd: Optional[np.ndarray] = None,
     ):
-        """All boxes xyxy in the same (original-image) coordinate frame."""
+        """All boxes xyxy in the same (original-image) coordinate frame.
+
+        gt_ignore marks gts excluded from scoring; gt_crowd (a subset,
+        default = gt_ignore) additionally allows many-to-one matching and
+        the intersection-over-det IoU (COCO iscrowd semantics).
+        """
         if gt_ignore is None:
             gt_ignore = np.zeros(len(gt_boxes), bool)
-        keep = np.argsort(-det_scores, kind="stable")[: self.max_dets]
-        det_boxes, det_scores, det_labels = (
-            det_boxes[keep], det_scores[keep], det_labels[keep],
-        )
-        if det_masks is not None:
-            det_masks = [det_masks[i] for i in keep]
+        if gt_crowd is None:
+            gt_crowd = gt_ignore
         for c in np.unique(np.concatenate([det_labels, gt_labels])).astype(int):
             dm = det_labels == c
             gm = gt_labels == c
             self._npos[c] += int((gm & ~gt_ignore).sum())
             if not dm.any():
                 continue
+            # pycocotools caps dets PER (image, class) at maxDet
+            # (`evaluateImg`: dt = dt[0:maxDet]); a global per-image cap is
+            # the detector's own business (roi_head max_per_img)
+            keep = np.argsort(-det_scores[dm], kind="stable")[: self.max_dets]
+            scores_c = det_scores[dm][keep]
             if self.with_mask:
+                masks_c = [m for m, k in zip(det_masks, dm) if k]
                 iou = _mask_iou_matrix(
-                    [m for m, k in zip(det_masks, dm) if k],
+                    [masks_c[i] for i in keep],
                     [m for m, k in zip(gt_masks, gm) if k],
-                    gt_ignore[gm],
+                    gt_crowd[gm],
                 )
             else:
-                iou = _iou_matrix(det_boxes[dm], gt_boxes[gm], gt_ignore[gm])
-            tp, ign = _match_image(det_scores[dm], iou, gt_ignore[gm], IOU_THRS)
-            order = np.argsort(-det_scores[dm], kind="stable")
-            self._dets[c].append((det_scores[dm][order], tp, ign))
+                iou = _iou_matrix(det_boxes[dm][keep], gt_boxes[gm], gt_crowd[gm])
+            tp, ign = _match_image(
+                scores_c, iou, gt_ignore[gm], IOU_THRS, gt_crowd=gt_crowd[gm]
+            )
+            order = np.argsort(-scores_c, kind="stable")
+            self._dets[c].append((scores_c[order], tp, ign))
 
     def _class_ap(self, c: int) -> np.ndarray:
         """AP per IoU threshold for one class; NaN if no gt."""

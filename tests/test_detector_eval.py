@@ -279,3 +279,66 @@ def test_rle_decode():
     ref = rle_decode({"size": [4, 6], "counts": counts})
     np.testing.assert_array_equal(m2, ref)
     assert m2.sum() == 5 + 4
+
+
+def test_eval_ap_matches_pycocotools_oracle():
+    """Randomized cross-validation of DetectionEvaluator against a literal
+    transcription of the pycocotools COCOeval pipeline
+    (tests/cocoeval_oracle.py): many images, classes, crowd + ignore flags,
+    duplicate detections, score ties."""
+    import numpy as np
+
+    from clipself_tpu.detector.eval_ap import DetectionEvaluator
+    from tests.cocoeval_oracle import coco_eval_oracle
+
+    rng = np.random.default_rng(123)
+    num_classes = 5
+
+    def rand_boxes(n):
+        lo = rng.uniform(0, 80, size=(n, 2))
+        wh = rng.uniform(4, 60, size=(n, 2))
+        return np.concatenate([lo, lo + wh], 1).astype(np.float64)
+
+    for trial in range(4):
+        images = []
+        ev = DetectionEvaluator(num_classes, max_dets=10)
+        for _ in range(6):
+            ng = int(rng.integers(0, 8))
+            nd = int(rng.integers(0, 25))
+            gt_boxes = rand_boxes(ng)
+            gt_labels = rng.integers(0, num_classes, ng)
+            gt_crowd = rng.random(ng) < 0.2
+            gt_ignore = gt_crowd | (rng.random(ng) < 0.15)
+            # half the dets perturb real gts (so there ARE matches at
+            # varied IoUs), half are random; scores include exact ties
+            dt_boxes = rand_boxes(nd)
+            dt_labels = rng.integers(0, num_classes, nd)
+            for i in range(nd // 2):
+                if ng:
+                    j = int(rng.integers(0, ng))
+                    dt_boxes[i] = gt_boxes[j] + rng.normal(0, 3, 4)
+                    dt_labels[i] = gt_labels[j]
+            dt_scores = np.round(rng.random(nd), 1)  # coarse -> ties
+            im = dict(
+                dt_boxes=dt_boxes, dt_scores=dt_scores, dt_labels=dt_labels,
+                gt_boxes=gt_boxes, gt_labels=gt_labels,
+                gt_ignore=gt_ignore, gt_crowd=gt_crowd,
+            )
+            images.append(im)
+            ev.add_image(
+                dt_boxes, dt_scores, dt_labels, gt_boxes, gt_labels,
+                gt_ignore=gt_ignore, gt_crowd=gt_crowd,
+            )
+        want = coco_eval_oracle(images, num_classes, max_det=10)
+        got = ev.summarize()
+        for key in ("mAP", "AP50", "AP75"):
+            w, g = want[key], got[key]
+            assert (np.isnan(w) and np.isnan(g)) or abs(w - g) < 1e-9, (
+                f"trial {trial} {key}: ours {g} vs pycocotools-oracle {w}"
+            )
+        per = np.stack([ev._class_ap(c) for c in range(num_classes)])
+        np.testing.assert_allclose(
+            np.nan_to_num(per, nan=-1.0),
+            np.nan_to_num(want["per_class"], nan=-1.0),
+            atol=1e-9,
+        )
