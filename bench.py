@@ -90,6 +90,11 @@ def bench_loader():
 def main():
     if os.environ.get("BENCH_LOADER", "0") == "1":
         return bench_loader()
+    if os.environ.get("BENCH_CHIP_PARITY", "0") == "1":
+        # on-chip bf16+flash drift vs reference CPU goldens -> PARITY_CHIP.md
+        from clipself_tpu.tools.chip_parity import main as parity_main
+
+        return parity_main()
     import jax
 
     # persistent compilation cache: repeated bench runs skip the (slow)

@@ -160,8 +160,31 @@ TRANSFER_COCO_VITL14 = dataclasses.replace(
     OV_COCO_VITL14, num_classes=80, alpha=0.3, beta=0.3
 )
 
+# CPU-runnable miniature of the ov_coco pipeline (tests + smoke runs): tiny
+# 4-layer EVA trunk, 64px images, full 65-class COCO-OV vocabulary
+TINY_TEST = FViTConfig(
+    clip_model="EVA02-CLIP-Tiny-Det-Test",
+    out_indices=(0, 1, 2, 3),
+    backbone_width=64,
+    embed_dim=32,
+    patch_size=8,
+    fpn_channels=32,
+    anchors=AnchorCfg(strides=(2, 4, 8, 16, 32)),
+    num_classes=65,
+    num_shared_convs=1,
+    num_shared_fcs=1,
+    fc_out_channels=32,
+    train_proposals=ProposalCfg(nms_pre=128, max_per_img=32),
+    test_proposals=ProposalCfg(nms_pre=128, max_per_img=32),
+    rcnn_sample=SampleCfg(num=16, pos_fraction=0.25, add_gt_as_proposals=True),
+    rcnn_test=RcnnTestCfg(max_per_img=8),
+    max_gt=5,
+    image_size=64,
+)
+
 PRESETS = {
     "ov_coco_vitb16": OV_COCO_VITB16,
+    "tiny_test": TINY_TEST,
     "ov_coco_vitl14": OV_COCO_VITL14,
     "ov_lvis_vitb16": OV_LVIS_VITB16,
     "ov_lvis_vitl14": OV_LVIS_VITL14,

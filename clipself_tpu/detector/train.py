@@ -127,6 +127,8 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--wd", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ratio-range", type=float, nargs=2, default=(0.1, 2.0),
+                   help="train-time random resize ratio range (mmdet Resize)")
     p.add_argument("--output", default="out_fvit")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
@@ -187,6 +189,7 @@ def main(argv=None):
         ds = DetectionDataset(
             args.ann_file, args.image_root, split["all"],
             image_size=cfg.image_size, max_gt=cfg.max_gt, train=True,
+            ratio_range=tuple(args.ratio_range),
             seed=args.seed, with_mask=cfg.with_mask,
         )
         steps = args.steps_per_epoch or (len(ds) // args.batch_size)

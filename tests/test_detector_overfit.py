@@ -70,3 +70,85 @@ def test_detector_overfits_single_image():
     m = ev.summarize()
     # overfit on its own training image: both gts must be found at IoU .5
     assert m["AP50"] > 0.5, (m, boxes[0][ok][:4], labels[0][ok][:4], scores[0][ok][:4])
+
+
+def _write_micro_det_coco(root, n_images=8, size=64):
+    """COCO-format detection micro-set: solid-color class-keyed rectangles
+    on dark noise backgrounds — 2 boxes per image from 3 categories."""
+    import json
+
+    from PIL import Image
+
+    from clipself_tpu.detector.classes import coco_split
+
+    names = coco_split()["all"][:3]
+    colors = [(255, 40, 40), (40, 255, 40), (40, 40, 255)]
+    rng = np.random.default_rng(7)
+    img_dir = root / "imgs"
+    img_dir.mkdir()
+    images, anns = [], []
+    aid = 1
+    for i in range(n_images):
+        arr = rng.integers(0, 40, size=(size, size, 3), dtype=np.uint8)
+        boxes = [(4 + 2 * i, 6, 22, 26), (34, 30 + 2 * (i % 3), 58, 56)]
+        for j, (x0, y0, x1, y1) in enumerate(boxes):
+            c = (i + j) % 3
+            arr[y0:y1, x0:x1] = colors[c]
+            anns.append({
+                "id": aid, "image_id": i, "category_id": c + 1,
+                "bbox": [x0, y0, x1 - x0, y1 - y0],
+                "area": (x1 - x0) * (y1 - y0), "iscrowd": 0,
+            })
+            aid += 1
+        fname = f"{i}.png"
+        Image.fromarray(arr).save(img_dir / fname)
+        images.append({"id": i, "file_name": fname, "width": size, "height": size})
+    ann = {
+        "images": images, "annotations": anns,
+        "categories": [{"id": c + 1, "name": n} for c, n in enumerate(names)],
+    }
+    ann_file = root / "instances.json"
+    ann_file.write_text(json.dumps(ann))
+    return str(ann_file), str(img_dir)
+
+
+def test_detector_cli_overfits_micro_set(tmp_path):
+    """8-image synthetic set trained through the REAL `detector/train.py`
+    CLI (tiny_test preset, full 65-class vocabulary), then evaluated with
+    the REAL `detector/evaluate.py` path to >= 0.9 AP50 — end-to-end
+    evidence for the file pipeline, trainer and evaluator together."""
+    from clipself_tpu.detector import train as det_train
+    from clipself_tpu.detector.classes import coco_split
+    from clipself_tpu.detector.config import PRESETS
+    from clipself_tpu.detector.data import DetectionDataset
+    from clipself_tpu.detector.evaluate import evaluate_detector
+    from clipself_tpu.detector.fvit import FViTDetector
+
+    ann_file, img_dir = _write_micro_det_coco(tmp_path)
+    cfg = PRESETS["tiny_test"]
+    split = coco_split()
+    ce = np.random.default_rng(3).normal(size=(cfg.num_classes + 1, cfg.embed_dim))
+    ce = (ce / np.linalg.norm(ce, axis=-1, keepdims=True)).astype(np.float32)
+    ce_path = tmp_path / "ce.npy"
+    np.save(ce_path, ce)
+
+    state = det_train.main([
+        "--preset", "tiny_test", "--dataset", "coco",
+        "--ann-file", ann_file, "--image-root", img_dir,
+        "--class-embed", str(ce_path),
+        "--batch-size", "8", "--epochs", "400", "--lr", "3e-3", "--wd", "0.0",
+        "--ratio-range", "1.0", "1.0",
+        "--precision", "fp32", "--log-every", "100",
+        "--output", str(tmp_path / "out"),
+    ])
+
+    clip_model, clip_params = create_model(cfg.clip_model, dtype=jnp.float32)
+    val_ds = DetectionDataset(
+        ann_file, img_dir, split["all"], image_size=cfg.image_size,
+        max_gt=cfg.max_gt, train=False,
+    )
+    results = evaluate_detector(
+        FViTDetector(cfg, dtype=jnp.float32), state.params, clip_model,
+        clip_params, val_ds, cfg, ce, dataset_name="coco", batch_size=8,
+    )
+    assert results["AP50"] >= 0.9, results
