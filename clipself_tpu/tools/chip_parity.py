@@ -132,15 +132,25 @@ def main():
         if dtype == jnp.bfloat16:
             params = jax.tree.map(jnp.asarray, params)  # params stay f32
 
-        def apply(method, *a):
-            return model.apply({"params": params}, *a, method=method)
-
+        # params as jit ARGUMENTS: closing over them embeds ~86M f32
+        # constants and exceeds the remote-compile upload limit (HTTP 413)
         js, jl = jnp.asarray(img_s, dtype), jnp.asarray(img_l, dtype)
         jb = jnp.asarray(boxes)
-        dense_s = jax.jit(lambda i: apply("encode_dense", i, False, False))(js)
-        dense_l = jax.jit(lambda i: apply("encode_dense", i, False, False))(jl)
-        rois = jax.jit(lambda i, b: apply("encode_pseudo_boxes", i, b, False))(jl, jb)
-        ri_rois, ri_img = jax.jit(lambda i, b: apply("encode_rois_and_image", i, b))(jl, jb)
+        dense_fn = jax.jit(
+            lambda p, i: model.apply({"params": p}, i, False, False, method="encode_dense")
+        )
+        dense_s = dense_fn(params, js)
+        dense_l = dense_fn(params, jl)
+        rois = jax.jit(
+            lambda p, i, b: model.apply(
+                {"params": p}, i, b, False, method="encode_pseudo_boxes"
+            )
+        )(params, jl, jb)
+        ri_rois, ri_img = jax.jit(
+            lambda p, i, b: model.apply(
+                {"params": p}, i, b, method="encode_rois_and_image"
+            )
+        )(params, jl, jb)
         results[f"{tag}: encode_dense 224"] = _stats(dense_s, want_dense_s)
         results[f"{tag}: encode_dense {IMG_LARGE}"] = _stats(dense_l, want_dense_l)
         results[f"{tag}: extract_roi_features {IMG_LARGE}"] = _stats(
@@ -169,7 +179,14 @@ def main():
             jnp.asarray(rng.normal(size=(b, n, h, d)) * 0.3, jnp.bfloat16)
             for _ in range(3)
         ]
-        do = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.bfloat16)
+        # upstream grads are ZERO at padding rows (the trunk slices them off
+        # before any loss); leaving them random would let the XLA emulation's
+        # pad queries — which see real keys through the column-only bias —
+        # inject spurious dk/dv the flash segment semantics rightly exclude
+        do = jnp.asarray(
+            rng.normal(size=(b, n, h, d)) * np.asarray(seg)[:, :, None, None],
+            jnp.bfloat16,
+        )
 
         def loss(impl):
             def f(q, k, v):
