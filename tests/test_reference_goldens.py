@@ -138,10 +138,27 @@ def _install_stubs():
                 t.normal_(mean, std).clamp_(-2 * std, 2 * std)
             return t
 
+        class Mlp(torch.nn.Module):  # timm Mlp (used by TimmModel proj='mlp')
+            def __init__(self, in_f, hidden, out_f, drop=(0.0, 0.0), bias=(True, True)):
+                super().__init__()
+                self.fc1 = torch.nn.Linear(in_f, hidden, bias=bias[0])
+                self.act = torch.nn.GELU()
+                self.fc2 = torch.nn.Linear(hidden, out_f, bias=bias[1])
+
+            def forward(self, x):
+                return self.fc2(self.act(self.fc1(x)))
+
         layers = _mod("timm.models.layers")
         layers.drop_path = drop_path
         layers.to_2tuple = to_2tuple
         layers.trunc_normal_ = trunc_normal_
+        # the full import surface of the reference `timm_model.py:12-22` must
+        # exist BEFORE any module exec's it — `model.py` imports `.timm_model`
+        # transitively (e.g. via `coca_model.py`), and a missing name there
+        # silently caches the module with `timm = None`
+        layers.Mlp = Mlp
+        layers.RotAttentionPool2d = object
+        layers.AttentionPool2d = object
         timm = _mod("timm")
         models = _mod("timm.models")
         timm.models = models
@@ -996,6 +1013,11 @@ def test_coca_forward_golden():
         embed_dim=48, multimodal_cfg=dict(multimodal_cfg),
         text_cfg=dict(text_cfg), vision_cfg=dict(vision_cfg),
     ).eval()
+    with torch.no_grad():
+        # the reference's MultimodalTransformer.init_parameters never touches
+        # text_projection — it stays `torch.empty` (heap garbage up to ~1e38),
+        # which makes logit comparisons scale-less and heap-order-dependent
+        ref.text_decoder.text_projection.normal_(std=0.02)
 
     import jax.numpy as jnp
 
@@ -1067,6 +1089,11 @@ def test_coca_generation_golden():
         embed_dim=48, multimodal_cfg=dict(multimodal_cfg),
         text_cfg=dict(text_cfg), vision_cfg=dict(vision_cfg),
     ).eval()
+    with torch.no_grad():
+        # the reference's MultimodalTransformer.init_parameters never touches
+        # text_projection — it stays `torch.empty` (heap garbage up to ~1e38),
+        # which makes logit comparisons scale-less and heap-order-dependent
+        ref.text_decoder.text_projection.normal_(std=0.02)
 
     import jax.numpy as jnp
 
@@ -1184,21 +1211,9 @@ def _install_timm_convnext_stub(hf_model, num_features):
 
     stub = TimmConvNeXtStub()
 
-    class Mlp(torch.nn.Module):  # timm Mlp for the 'mlp' proj head
-        def __init__(self, in_f, hidden, out_f, drop=(0.0, 0.0), bias=(True, True)):
-            super().__init__()
-            self.fc1 = torch.nn.Linear(in_f, hidden, bias=bias[0])
-            self.act = torch.nn.GELU()
-            self.fc2 = torch.nn.Linear(hidden, out_f, bias=bias[1])
-
-        def forward(self, x):
-            return self.fc2(self.act(self.fc1(x)))
-
-    timm = sys.modules["timm"]
-    timm.create_model = lambda name, **kw: stub
-    timm.models.layers.Mlp = Mlp
-    timm.layers.RotAttentionPool2d = object
-    timm.layers.AttentionPool2d = object
+    # Mlp / attention-pool names live in `_install_stubs`' timm skeleton so
+    # they exist no matter which test first exec's the reference module
+    sys.modules["timm"].create_model = lambda name, **kw: stub
     return stub
 
 
