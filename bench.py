@@ -87,9 +87,90 @@ def bench_loader():
     return result
 
 
+def bench_eval():
+    """BENCH_EVAL=1: zero-shot region-classification eval throughput on chip.
+
+    The evaluator pads every image to max_anns boxes+crops+masks
+    (`eval/zero_shot.py`); the reference ran batch-size 1 precisely because
+    of raggedness, so the padded redesign's on-chip cost is worth measuring
+    at reference scale: COCO-Panoptic val is ~5k images with max_anns
+    auto-capped at 100 (datasets.py:341-344). Distinct synthetic batches
+    (tunnel-memoization guard) flow through evaluate_zero_shot itself,
+    including the host-side metric stage."""
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("JAX_COMPILE_CACHE", "/root/.cache/jax_compilation")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from clipself_tpu.core.config import get_model_config
+    from clipself_tpu.eval.zero_shot import evaluate_zero_shot
+    from clipself_tpu.models.factory import create_model
+
+    b = int(os.environ.get("BENCH_EVAL_BATCH", "2"))
+    m = int(os.environ.get("BENCH_EVAL_ANNS", "100"))
+    det = int(os.environ.get("BENCH_IMAGE_SIZE", "1024"))
+    crop = int(os.environ.get("BENCH_CROP_SIZE", "224"))
+    n_batches = int(os.environ.get("BENCH_EVAL_BATCHES", "8"))
+    n_classes = 133  # COCO-Panoptic
+    model_name = os.environ.get("BENCH_MODEL", "EVA02-CLIP-B-16")
+
+    cfg = get_model_config(model_name)
+    model, params = create_model(cfg, dtype=jnp.bfloat16)
+    mask_hw = det // cfg.vision.patch_size
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((n_classes, cfg.embed_dim)).astype(np.float32)
+
+    def make_batch(i):
+        r = np.random.default_rng(i + 1)
+        lo = r.uniform(0, 0.5, size=(b, m, 2)).astype(np.float32)
+        hi = np.clip(lo + r.uniform(0.05, 0.5, size=(b, m, 2)), 0, 1)
+        boxes = np.zeros((b, m, 8), np.float32)
+        boxes[..., :4] = np.concatenate([lo, hi], -1)
+        boxes[..., 4] = r.integers(0, n_classes, size=(b, m))  # label
+        boxes[..., 5] = 1.0  # valid
+        boxes[..., 7] = r.integers(0, 2, size=(b, m))  # isthing
+        masks = (r.uniform(size=(b, m, mask_hw, mask_hw)) < 0.2).astype(np.float32)
+        return {
+            "images": r.standard_normal((b, det, det, 3)).astype(np.float32),
+            "boxes": boxes,
+            "crops": r.standard_normal((b, m, crop, crop, 3)).astype(np.float32),
+            "gt_masks": masks,
+        }
+
+    batches = [make_batch(i) for i in range(n_batches)]
+    # warmup/compile on a separate batch, then time the full evaluator pass
+    res = evaluate_zero_shot(model, params, batches[:1], emb)
+    assert res, "evaluator produced no results"
+    t0 = time.perf_counter()
+    res = evaluate_zero_shot(model, params, batches, emb)
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in res.values())
+
+    ips = b * n_batches / dt
+    result = {
+        "metric": f"images/sec/chip, {model_name} zero-shot panoptic eval "
+                  f"({det}px, {m} padded anns: rois+maskpool+{m}x{crop}px crops)",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        # 5k panoptic val images per eval epoch; minutes on one chip as context
+        "vs_baseline": round(ips / BASELINE_PER_CHIP, 4),
+        "eval_5k_minutes_per_chip": round(5000 / ips / 60, 1),
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main():
     if os.environ.get("BENCH_LOADER", "0") == "1":
         return bench_loader()
+    if os.environ.get("BENCH_EVAL", "0") == "1":
+        return bench_eval()
     if os.environ.get("BENCH_CHIP_PARITY", "0") == "1":
         # on-chip bf16+flash drift vs reference CPU goldens -> PARITY_CHIP.md
         from clipself_tpu.tools.chip_parity import main as parity_main

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from clipself_tpu.core.config import VisionConfig
-from clipself_tpu.models.rope import apply_rope, apply_rope_gathered
+from clipself_tpu.models.rope import apply_rope_flat, apply_rope_gathered
 from clipself_tpu.ops.attention import multi_head_attention
 from clipself_tpu.ops.interpolate import resize_2d
 from clipself_tpu.ops.mask_pool import mask_pool
@@ -120,7 +120,7 @@ class EvaAttention(nn.Module):
                 name="rel_pos_bias",
             )
 
-    def _qkv(self, x: jnp.ndarray):
+    def _qkv_flat(self, x: jnp.ndarray):
         c = self.cfg
         if c.subln:
             q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
@@ -130,10 +130,7 @@ class EvaAttention(nn.Module):
             if c.qkv_bias:
                 q = q + self.q_bias.astype(q.dtype)
                 v = v + self.v_bias.astype(v.dtype)
-        b, n, _ = q.shape
-        h = c.num_heads
-        d = c.head_width
-        return (t.reshape(b, n, h, d) for t in (q, k, v))
+        return q, k, v
 
     def __call__(
         self,
@@ -144,29 +141,36 @@ class EvaAttention(nn.Module):
         pos_idx: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         c = self.cfg
-        q, k, v = self._qkv(x)
+        q, k, v = self._qkv_flat(x)
+        b, n, _ = q.shape
+        heads = (b, n, c.num_heads, c.head_width)
         if c.rope and grid_hw is not None:
             gh, gw = grid_hw
             if pos_idx is not None:
                 # patch-dropout path: tokens are a gathered subset; rotate by
-                # their original grid positions
+                # their original grid positions (per-head layout)
                 def rot(t):
+                    t = t.reshape(heads)
                     return jnp.concatenate(
                         [t[:, :1], apply_rope_gathered(t[:, 1:], pos_idx, gh, gw, c.pt_hw_seq_len)],
                         axis=1,
                     )
             else:
-                np_ = gh * gw
-                # rotate patch tokens only; CLS (index 0) and any flash-padding
-                # tail are left untouched
+                # rotate in the FLAT [B, N, width] layout (full 128-lane
+                # tiles; the per-head [.., 64] layout halves lane utilization
+                # on every elementwise op) with identity rows baked into the
+                # tables for CLS and the flash-padding tail
                 def rot(t):
-                    parts = [t[:, :1], apply_rope(t[:, 1 : 1 + np_], gh, gw, c.pt_hw_seq_len)]
-                    if t.shape[1] > 1 + np_:
-                        parts.append(t[:, 1 + np_ :])
-                    return jnp.concatenate(parts, axis=1)
+                    return apply_rope_flat(
+                        t, gh, gw, c.head_width, 1, c.pt_hw_seq_len
+                    ).reshape(heads)
 
             q = rot(q)
             k = rot(k)
+        else:
+            q = q.reshape(heads)
+            k = k.reshape(heads)
+        v = v.reshape(heads)
         if c.use_rel_pos_bias:
             bias = self.rel_pos_bias()
             if bias.shape[-1] != q.shape[1]:

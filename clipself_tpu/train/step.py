@@ -73,8 +73,11 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return state.replace(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
+    opts = _tpu_compiler_options()
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        return jax.jit(
+            step_fn, donate_argnums=(0,) if donate else (), compiler_options=opts
+        )
 
     from clipself_tpu.parallel.mesh import batch_sharding
 
@@ -89,4 +92,24 @@ def make_train_step(
         in_shardings=(st, tch, data, repl),
         out_shardings=(st, repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=opts,
     )
+
+
+def _tpu_compiler_options():
+    """Raise the scoped-VMEM budget for the train step on TPU.
+
+    The compiler's default 16MB scoped-vmem cap is far below the v5e's 128MB
+    physical VMEM; with the fused flash kernels plus XLA's own VMEM
+    prefetch/output-pinning decisions the full train graph can exceed it
+    (observed: XLA pinning a 14MB flash-backward output in VMEM for an
+    elementwise consumer). 32MB gives the scheduler headroom; override with
+    CLIPSELF_SCOPED_VMEM_KIB=0 to keep the compiler default."""
+    import os
+
+    if jax.default_backend() != "tpu":
+        return None
+    kib = int(os.environ.get("CLIPSELF_SCOPED_VMEM_KIB", "32768"))
+    if kib <= 0:
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}

@@ -162,6 +162,65 @@ def test_patch_dropout_rope_gather():
     assert np.abs(np.asarray(out_drop) - np.asarray(out_det)).max() > 1e-4
 
 
+def test_rope_padded_matches_slice_compose():
+    """The shipped one-pass rolled-table rope (identity rows for CLS + pad
+    tail, lane rolls instead of stride-2 deinterleave) must equal the naive
+    composition: slice out patch tokens, x*cos + rotate_half(x)*sin, concat
+    CLS/tail back (reference semantics, `src/open_clip/eva_clip/rope.py`)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clipself_tpu.models.rope import (
+        apply_rope_padded,
+        rope_tables_np,
+        rotate_half,
+    )
+
+    gh = gw = 5
+    d = 16
+    n_total = 1 + gh * gw + 6  # CLS + patches + flash-padding tail
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, n_total, 3, d)), jnp.float32
+    )
+
+    cos_np, sin_np = rope_tables_np(gh, gw, d // 2)
+    cos = jnp.asarray(cos_np[:, None, :])
+    sin = jnp.asarray(sin_np[:, None, :])
+    patches = x[:, 1 : 1 + gh * gw]
+    naive = jnp.concatenate(
+        [x[:, :1], patches * cos + rotate_half(patches) * sin, x[:, 1 + gh * gw :]],
+        axis=1,
+    )
+    out = apply_rope_padded(x, gh, gw, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(naive), atol=1e-7)
+
+
+def test_rope_gathered_matches_rotate_half():
+    """The rolled-table gathered path equals x*cos + rotate_half(x)*sin on
+    the gathered tables."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clipself_tpu.models.rope import (
+        apply_rope_gathered,
+        rope_tables_np,
+        rotate_half,
+    )
+
+    gh = gw = 4
+    d = 8
+    k = 7
+    rng = np.random.default_rng(1)
+    keep = jnp.asarray(rng.choice(gh * gw, size=(2, k), replace=False))
+    x = jnp.asarray(rng.normal(size=(2, k, 2, d)), jnp.float32)
+    cos_np, sin_np = rope_tables_np(gh, gw, d // 2)
+    cos = jnp.asarray(cos_np)[keep][:, :, None, :]
+    sin = jnp.asarray(sin_np)[keep][:, :, None, :]
+    naive = x * cos + rotate_half(x) * sin
+    out = apply_rope_gathered(x, keep, gh, gw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(naive), atol=1e-7)
+
+
 # ---- relative position bias (reference eva_vit_model.py:359-393,423-448) ----
 
 
