@@ -29,7 +29,7 @@ def bench_loader():
     distill item transform (decode + antialiased det resize/pad to 1024^2 +
     20 crop resizes to 224^2 + normalize) through the thread pool.
     The requirement for the distill step to stay compute-bound on a v5e-8
-    host is ~8 x 13.6 ≈ 110 img/s (PERF.md)."""
+    host is ~8 x 15.3 ≈ 123 img/s (PERF.md)."""
     import tempfile
 
     from PIL import Image

@@ -13,6 +13,7 @@ are gathered host-side (multihost gather hook for multi-process runs).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -53,6 +54,46 @@ def macc_with_is_thing(
     return results
 
 
+@functools.lru_cache(maxsize=8)
+def _make_batch_features(model, extract_type: str, image_ave_pool: bool):
+    """Jitted per-batch feature+logit computation.
+
+    Cached on (model, flags) — flax Modules are frozen dataclasses, so the
+    eval-every-epoch loop in `train/main.py` reuses one traced executable
+    instead of re-tracing each epoch. The text-embedding matrix is an
+    argument (not a closure capture) for the same reason.
+
+    RoI and mask-pooled features come from ONE shared dense pass
+    (`CLIP.encode_rois_and_masks`); the reference pays two full forwards
+    per image here (`zero_shot.py:60-86`).
+    """
+
+    @jax.jit
+    def batch_features(params, emb_dev, images, boxes4, crops, masks):
+        # reference zero_shot.py:74-76: mask-attention pooling when v1
+        rois, maskpool = model.apply(
+            {"params": params}, images, boxes4, masks, True, extract_type,
+            extract_type == "v1",
+            method="encode_rois_and_masks",
+        )
+        b, m = crops.shape[:2]
+        crop_flat = crops.reshape((b * m,) + crops.shape[2:])
+        if image_ave_pool:
+            dense = model.apply({"params": params}, crop_flat, True, True, method="encode_dense")
+            cf = dense.mean(axis=(1, 2))
+            cf = cf / (jnp.linalg.norm(cf.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12).astype(cf.dtype)
+        else:
+            cf = model.apply({"params": params}, crop_flat, True, method="encode_image")
+        crop_feats = cf.reshape(b, m, -1)
+        return (
+            (rois.astype(jnp.float32) @ emb_dev.T),
+            (crop_feats.astype(jnp.float32) @ emb_dev.T),
+            (maskpool.astype(jnp.float32) @ emb_dev.T),
+        )
+
+    return batch_features
+
+
 def evaluate_zero_shot(
     model,
     params,
@@ -79,39 +120,16 @@ def evaluate_zero_shot(
     emb_dev = jnp.asarray(emb)
 
     if mesh is not None:
-        import functools
-
         from clipself_tpu.parallel.mesh import put_batch_array
 
         to_device = functools.partial(put_batch_array, mesh)
     else:
         to_device = jnp.asarray
 
-    @jax.jit
+    feature_fn = _make_batch_features(model, extract_type, image_ave_pool)
+
     def batch_features(params, images, boxes4, crops, masks):
-        rois = model.apply(
-            {"params": params}, images, boxes4, True, extract_type,
-            method="encode_pseudo_boxes",
-        )
-        # reference zero_shot.py:74-76: mask-attention pooling when v1
-        maskpool = model.apply(
-            {"params": params}, images, masks, True, extract_type == "v1",
-            method="encode_masks",
-        )
-        b, m = crops.shape[:2]
-        crop_flat = crops.reshape((b * m,) + crops.shape[2:])
-        if image_ave_pool:
-            dense = model.apply({"params": params}, crop_flat, True, True, method="encode_dense")
-            cf = dense.mean(axis=(1, 2))
-            cf = cf / (jnp.linalg.norm(cf.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12).astype(cf.dtype)
-        else:
-            cf = model.apply({"params": params}, crop_flat, True, method="encode_image")
-        crop_feats = cf.reshape(b, m, -1)
-        return (
-            (rois.astype(jnp.float32) @ emb_dev.T),
-            (crop_feats.astype(jnp.float32) @ emb_dev.T),
-            (maskpool.astype(jnp.float32) @ emb_dev.T),
-        )
+        return feature_fn(params, emb_dev, images, boxes4, crops, masks)
 
     acc = {k: [] for k in ("rois", "crops", "maskpool")}
     all_labels, all_is_thing = [], []

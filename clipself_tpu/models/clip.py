@@ -142,6 +142,49 @@ class CLIP(nn.Module):
     def encode_rois_and_image(self, image: jnp.ndarray, normed_boxes: jnp.ndarray):
         return self.visual.encode_rois_and_image(image, normed_boxes)
 
+    def encode_rois_and_masks(
+        self,
+        image: jnp.ndarray,
+        normed_boxes: jnp.ndarray,
+        masks: jnp.ndarray,
+        normalize: bool = True,
+        extract_type: str = "v2",
+        mask_attn: bool = False,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """RoI features AND mask-pooled features from ONE dense trunk pass.
+
+        The zero-shot evaluator needs both per image (reference
+        `zero_shot.py:60-86` runs them as separate model calls, each paying a
+        full dense forward). For extract_type 'v2' every tower's RoI path is
+        dense-map RoI-align and its mask path is a masked mean of the same
+        map, so the trunk runs once. v1/v3 or mask-attention pooling fall
+        back to the separate calls (their RoI/mask paths are not a shared
+        dense map).
+
+        image: [B, H, W, 3]; normed_boxes: [B, M, 4]; masks: [B, M, gh, gw].
+        Returns ([B, M, C] roi feats, [B, M, C] mask feats).
+        """
+        if extract_type == "v2" and not mask_attn:
+            from clipself_tpu.ops.mask_pool import mask_pool
+            from clipself_tpu.ops.roi_align import denormalize_boxes, roi_align_1x1
+
+            dense = self.visual.encode_dense(image, keep_shape=True)
+            _, gh, gw, _ = dense.shape
+            rois = roi_align_1x1(dense, denormalize_boxes(normed_boxes, gh, gw))
+            mp = mask_pool(dense, masks)
+        else:
+            rois = self.visual.extract_roi_features(
+                image, normed_boxes, extract_type=extract_type
+            )
+            if mask_attn and hasattr(self.visual, "mask_attn_pool"):
+                mp = self.visual.mask_attn_pool(image, masks)
+            else:
+                mp = self.visual.mask_pool(image, masks)
+        if normalize:
+            rois = l2_normalize(rois)
+            mp = l2_normalize(mp)
+        return rois, mp
+
     def visual_taps(
         self, image: jnp.ndarray, out_indices: tuple, with_dense: bool = False
     ):

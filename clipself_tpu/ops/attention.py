@@ -173,12 +173,15 @@ def _bundled_fwd(q, k, v, segf, scale, block, save_residuals):
 
 def _flash_fused_fwd(q, k, v, segf, scale, block):
     # the residual-saving forward carries two extra f32 stats outputs whose
-    # lane-padded VMEM blocks overflow the 16MB scoped budget at 1536 tiles;
-    # cap the TRAINING forward at 768 (the inference primal keeps the big
-    # tile). The cap must still divide the sequence: e.g. n=2048 divides by
-    # a 1024 tile but not 768, so step down to the largest fitting divisor.
+    # lane-padded VMEM blocks overflow the compiler's default 16MB scoped
+    # budget at 1536 tiles; the train step raises the budget to 32MB
+    # (train/step.py::_tpu_compiler_options), under which the full 1536 tile
+    # fits and measures +2.6% whole-step. The cap must still divide the
+    # sequence: e.g. n=2048 divides by a 1024 tile but not 1536, so step
+    # down to the largest fitting divisor.
     npad = q.shape[2]
-    cap = block if block <= 768 else flash_block_size(npad, cap=768)
+    train_cap = int(os.environ.get("CLIPSELF_FLASH_FWD_TRAIN_BLOCK", "1536"))
+    cap = block if block <= train_cap else flash_block_size(npad, cap=train_cap)
     out, l, m = _bundled_fwd(q, k, v, segf, scale, cap, save_residuals=True)
     return out, (q, k, v, segf, out, l, m)
 

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512  # 768 q-blocks overflow VMEM inside the full graph
+DEFAULT_BLOCK_Q = 768  # fits the 32MB scoped budget the train step requests
+                       # (overflowed the old 16MB default inside full graphs)
 DEFAULT_BLOCK_K = 1536  # measured 5.46 ms vs 5.83 at 512/768 (4.6k tokens)
 
 
@@ -135,6 +136,9 @@ def flash_attention_bwd(
     Returns (dq, dk, dv) in q.dtype.
     """
     b, h, n, d = q.shape
+    env_q = os.environ.get("CLIPSELF_FLASH_BWD_BLOCK_Q")
+    if env_q:
+        block_q = int(env_q)
     env_k = os.environ.get("CLIPSELF_FLASH_BWD_BLOCK_K")
     if env_k:
         # rematerialized graphs (--grad-checkpointing) pipeline this kernel
