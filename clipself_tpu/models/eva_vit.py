@@ -388,7 +388,12 @@ class EvaViT(nn.Module):
         (t_padded, segment_mask, true_len). Long sequences otherwise pay a
         per-layer q/k/v pad/copy inside the flash wrapper; padding up front
         trades ~(pad/N) extra MLP flops for zero per-layer copies."""
-        from clipself_tpu.ops.attention import _FLASH_MIN_SEQ, _flash_available, flash_block_size
+        from clipself_tpu.ops.attention import (
+            _FLASH_MIN_SEQ,
+            _flash_available,
+            cls_split_applicable,
+            flash_block_size,
+        )
 
         n = t.shape[1]
         if (
@@ -396,6 +401,11 @@ class EvaViT(nn.Module):
             or n < _FLASH_MIN_SEQ
             or flash_block_size(n)
             or not _flash_available()
+            # CLS + block-multiple patches (the 1024^2/16 and 896^2/14 student
+            # shapes): the dispatcher's CLS-split path runs flash on exactly
+            # the patch tokens — no padding, no segment mask, and the other
+            # per-token work (MLP/proj/LN/RoPE) never sees pad rows either
+            or cls_split_applicable(n)
             # rel-pos-bias is an additive mask -> XLA attention path, and the
             # bias table is sized to the true sequence; never pad
             or self.cfg.use_rel_pos_bias

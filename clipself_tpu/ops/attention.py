@@ -74,6 +74,10 @@ def _pallas_flash(q, k, v, scale, segment_mask=None):
     )
 
     b, h, n, d = q.shape
+    if segment_mask is None and cls_split_applicable(n):
+        # [CLS; patches] with a block-perfect patch count: flash over exactly
+        # the patch tokens + exact rank-1 CLS corrections (no pad FLOPs)
+        return _flash_cls_split(q, k, v, scale, flash_block_size(n - 1, cap=1536))
     native = flash_block_size(n)
     if native and segment_mask is not None:
         # caller already padded the sequence to a block multiple and supplies
@@ -199,6 +203,131 @@ def _flash_fused_bwd(scale, block, res, do):
 _flash_fused_vjp.defvjp(_flash_fused_fwd, _flash_fused_bwd)
 
 _FUSED_BWD = os.environ.get("CLIPSELF_FUSED_FLASH_BWD", "1") == "1"
+# Measured NEGATIVE on v5e (PERF.md "CLS-split flash"): exact, but the
+# correction einsums/slices/concats cost more than the 4097->4608 pad FLOPs
+# they remove (whole step 14.91 vs 15.32 img/s/chip). Kept as an
+# experiment flag; default off.
+_CLS_SPLIT = os.environ.get("CLIPSELF_FLASH_CLS_SPLIT", "0") == "1"
+
+
+def cls_split_applicable(n: int) -> bool:
+    """True when a [CLS; patches] sequence of length n takes the split path:
+    flash over the n-1 patch tokens (an exact block multiple) plus exact
+    rank-1 CLS corrections — no padding anywhere."""
+    return (
+        _CLS_SPLIT
+        and _FUSED_BWD  # the split's backward is built on our fused kernel
+        and (n - 1) >= _FLASH_MIN_SEQ
+        and (n - 1) % 512 == 0
+        and flash_block_size(n - 1) > 0
+    )
+
+
+def _cls_scores(qp, k_cls, scale):
+    """[B, H, Np, D] x [B, H, D] -> f32 [B, H, Np] scaled CLS-key logits."""
+    return (
+        jnp.einsum("bhnd,bhd->bhn", qp, k_cls, preferred_element_type=jnp.float32)
+        * scale
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_cls_split(q, k, v, scale, block):
+    """Exact attention over a [CLS; patches] sequence with NO padding.
+
+    The student's 1024^2 sequence is 4097 tokens = CLS + 64^2 patches; flash
+    kernels need a block multiple, and padding 4097 -> 4608 costs 26% extra
+    QK^T/AV FLOPs *inside the kernels* every layer. Instead: run flash on
+    exactly the 4096 patch tokens (perfect blocks, no segment masking), then
+    fold the CLS key into each patch row by the online-softmax combine rule
+    (the kernel returns its row stats l, m; the merged row max/sum make the
+    correction exact, not approximate), and compute the CLS query row as a
+    single plain softmax over all n keys. O(N) rank-1 work replaces O(N^2)
+    padded FLOPs. q/k/v: [B, H, 1+Np, D], CLS first.
+    """
+    out, _ = _cls_split_fwd_impl(q, k, v, scale, block)
+    return out
+
+
+def _cls_split_fwd_impl(q, k, v, scale, block):
+    f32 = jnp.float32
+    b, h, n, d = q.shape
+    qp, kp, vp = q[:, :, 1:], k[:, :, 1:], v[:, :, 1:]
+    k_cls, v_cls = k[:, :, 0], v[:, :, 0]
+    seg = jnp.ones((b, n - 1), f32)
+    # the combine needs the kernel's row stats even at inference; the two
+    # extra [B,H,Np] f32 outputs are noise next to the saved pad FLOPs
+    o_p, l, m = _bundled_fwd(qp, kp, vp, seg, scale, block, save_residuals=True)
+    s_c = _cls_scores(qp, k_cls, scale)  # [B, H, Np]
+    big_m = jnp.maximum(m, s_c)
+    alpha = l * jnp.exp(m - big_m)        # rescaled patch-key mass
+    beta = jnp.exp(s_c - big_m)           # CLS-key mass
+    big_l = alpha + beta
+    o_patches = (
+        o_p.astype(f32) * (alpha / big_l)[..., None]
+        + (beta / big_l)[..., None] * v_cls.astype(f32)[:, :, None, :]
+    ).astype(q.dtype)
+    # CLS query row: plain softmax over all n keys
+    s_row = (
+        jnp.einsum("bhd,bhnd->bhn", q[:, :, 0], k, preferred_element_type=f32)
+        * scale
+    )
+    p_row = jax.nn.softmax(s_row, axis=-1)
+    o_cls = jnp.einsum("bhn,bhnd->bhd", p_row.astype(q.dtype), v)
+    out = jnp.concatenate([o_cls[:, :, None], o_patches], axis=2)
+    res = (q, k, v, o_patches, big_l, big_m, beta / big_l, p_row)
+    return out, res
+
+
+def _flash_cls_split_fwd(q, k, v, scale, block):
+    return _cls_split_fwd_impl(q, k, v, scale, block)
+
+
+def _flash_cls_split_bwd(scale, block, res, do):
+    from clipself_tpu.ops.flash_bwd import flash_attention_bwd
+
+    f32 = jnp.float32
+    q, k, v, o_patches, big_l, big_m, p_c, p_row = res
+    qp, kp, vp = q[:, :, 1:], k[:, :, 1:], v[:, :, 1:]
+    k_cls, v_cls = k[:, :, 0], v[:, :, 0]
+    q_cls = q[:, :, 0]
+    do_c, do_p = do[:, :, 0], do[:, :, 1:]
+
+    # Patch-query rows. Feeding the kernel the MERGED stats (big_l, big_m)
+    # and the merged per-row output makes its recomputed probabilities the
+    # true full-softmax probabilities restricted to patch keys, and its
+    # di = rowsum(dO*O) the full-row correction — so dq/dk/dv come out as
+    # the exact patch-key part of the full gradient.
+    dqp, dkp, dvp = flash_attention_bwd(
+        qp, kp, vp, o_patches, big_l, big_m, do_p, segment_ids=None, sm_scale=scale
+    )
+    # CLS-key rank-1 corrections for the patch-query rows
+    di = jnp.sum(do_p.astype(f32) * o_patches.astype(f32), axis=-1)  # [B,H,Np]
+    dp_c = jnp.einsum("bhnd,bhd->bhn", do_p, v_cls, preferred_element_type=f32)
+    ds_c = p_c * (dp_c - di) * scale
+    dqp = dqp + (ds_c[..., None] * k_cls.astype(f32)[:, :, None, :]).astype(dqp.dtype)
+    dk_cls = jnp.einsum("bhn,bhnd->bhd", ds_c.astype(q.dtype), qp)
+    dv_cls = jnp.einsum("bhn,bhnd->bhd", p_c.astype(q.dtype), do_p)
+
+    # CLS query row: plain softmax-attention backward over all n keys
+    dp_row = jnp.einsum("bhd,bhnd->bhn", do_c, v, preferred_element_type=f32)
+    d_row = jnp.sum(p_row * dp_row, axis=-1, keepdims=True)
+    ds_row = (p_row * (dp_row - d_row) * scale).astype(q.dtype)
+    dq_cls = jnp.einsum("bhn,bhnd->bhd", ds_row, k)
+    dk_row = ds_row[..., None] * q_cls[:, :, None, :]           # [B,H,n,D]
+    dv_row = p_row[..., None].astype(q.dtype) * do_c[:, :, None, :]
+
+    dq = jnp.concatenate([dq_cls[:, :, None], dqp.astype(q.dtype)], axis=2)
+    dk = (
+        jnp.concatenate([dk_cls[:, :, None], dkp], axis=2).astype(f32) + dk_row
+    ).astype(q.dtype)
+    dv = (
+        jnp.concatenate([dv_cls[:, :, None], dvp], axis=2).astype(f32) + dv_row
+    ).astype(q.dtype)
+    return dq, dk, dv
+
+
+_flash_cls_split.defvjp(_flash_cls_split_fwd, _flash_cls_split_bwd)
 
 
 def multi_head_attention(

@@ -155,10 +155,13 @@ def flash_attention_bwd(
     if n % block_q or n % block_k:
         from clipself_tpu.ops.attention import flash_block_size
 
-        cand = flash_block_size(n, cap=768)
-        if not cand:
+        # pick each block independently: the q tile is VMEM-capped at its
+        # default, the kv tile at its larger one (e.g. n=4096 -> 512 / 1024)
+        bq = flash_block_size(n, cap=block_q)
+        bk = flash_block_size(n, cap=block_k)
+        if not bq or not bk:
             raise ValueError(f"seq {n} not blockable")
-        block_q = block_k = cand
+        block_q, block_k = bq, bk
     f32 = jnp.float32
     di = jnp.sum(o.astype(f32) * do.astype(f32), axis=-1)  # [B, H, N]
     stats_spec = pl.BlockSpec(

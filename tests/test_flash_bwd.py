@@ -122,3 +122,85 @@ def test_fused_bwd_no_nan_with_extreme_masked_logits():
     )
     for g in (dq, dk, dv):
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestClsSplit:
+    """CLS-split flash (`attention._flash_cls_split`): flash over exactly the
+    patch tokens + exact rank-1 CLS corrections. On CPU the bundled Pallas
+    forward is replaced by an exact (o, l, m) reference and the fused
+    backward runs in interpret mode — the combine math and the gradient
+    assembly are what's under test; the kernels themselves are covered by
+    the tests above and by the on-chip parity harness."""
+
+    Np = 128  # patch tokens (block-perfect); total sequence = 1 + Np
+
+    @staticmethod
+    def _patch_bundled_fwd(monkeypatch):
+        import functools
+
+        import clipself_tpu.ops.flash_bwd as FB
+        from clipself_tpu.ops import attention as A
+
+        def ref_bundled(q, k, v, segf, scale, block, save_residuals):
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            m = logits.max(-1)
+            l = jnp.exp(logits - m[..., None]).sum(-1)
+            o = jnp.einsum(
+                "bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1).astype(q.dtype), v
+            )
+            return (o, l, m) if save_residuals else o
+
+        monkeypatch.setattr(A, "_bundled_fwd", ref_bundled)
+        monkeypatch.setattr(
+            FB, "flash_attention_bwd",
+            functools.partial(FB.flash_attention_bwd, interpret=True),
+        )
+
+    def _qkv(self, seed=0):
+        rng = np.random.default_rng(seed)
+        n = self.Np + 1
+        return tuple(
+            jnp.asarray(rng.normal(size=(2, 3, n, 64)), jnp.float32)
+            for _ in range(3)
+        )
+
+    def test_forward_matches_full_softmax(self, monkeypatch):
+        from clipself_tpu.ops import attention as A
+
+        self._patch_bundled_fwd(monkeypatch)
+        q, k, v = self._qkv(0)
+        out = A._flash_cls_split(q, k, v, SCALE, 128)
+        ref = ref_attn(q, k, v).astype(out.dtype)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_backward_matches_autodiff(self, monkeypatch):
+        from clipself_tpu.ops import attention as A
+
+        self._patch_bundled_fwd(monkeypatch)
+        q, k, v = self._qkv(1)
+        do = jnp.asarray(
+            np.random.default_rng(2).normal(size=q.shape), jnp.float32
+        )
+
+        dq, dk, dv = jax.grad(
+            lambda q_, k_, v_: jnp.sum(A._flash_cls_split(q_, k_, v_, SCALE, 128) * do),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        dq_r, dk_r, dv_r = jax.grad(
+            lambda q_, k_, v_: jnp.sum(ref_attn(q_, k_, v_) * do), argnums=(0, 1, 2)
+        )(q, k, v)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r), atol=1e-4)
+
+    def test_applicability_gate(self, monkeypatch):
+        from clipself_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_CLS_SPLIT", True)  # experiment flag, default off
+        assert A.cls_split_applicable(4097)   # 1024^2/16 student
+        assert A.cls_split_applicable(4097)   # 896^2/14 student (same count)
+        assert not A.cls_split_applicable(4096)  # no CLS remainder
+        assert not A.cls_split_applicable(1601)  # 640^2/16: patches not 512-multiple
+        assert not A.cls_split_applicable(197)   # 224^2/16: short XLA path
