@@ -28,7 +28,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 768  # fits the 32MB scoped budget the train step requests
                        # (overflowed the old 16MB default inside full graphs)
-DEFAULT_BLOCK_K = 1536  # measured 5.46 ms vs 5.83 at 512/768 (4.6k tokens)
+DEFAULT_BLOCK_K = 2304  # whole-step A/B at 4.6k tokens: 15.44/15.45 img/s vs
+                        # 15.29/15.34 at 1536 (q=512 and kv=4608 both worse;
+                        # kv=4608 overflows VMEM); b*h>24 still drops to 768
 
 
 def _bwd_kernel(
@@ -141,10 +143,10 @@ def flash_attention_bwd(
         block_q = int(env_q)
     env_k = os.environ.get("CLIPSELF_FLASH_BWD_BLOCK_K")
     if env_k:
-        # rematerialized graphs (--grad-checkpointing) pipeline this kernel
-        # deeper and overflow scoped VMEM at kv=1536 even at batch*heads<=24;
-        # the trainers set 768 here when remat is on
-        block_k = min(block_k, int(env_k))
+        # authoritative override: the trainers set 768 when remat is on
+        # (deeper pipelining overflows scoped VMEM at kv=1536); experiments
+        # may also raise it
+        block_k = int(env_k)
     if b * h > 24 and block_k > 768:
         # the XLA pipeliner's scoped-VMEM accounting for this kernel exceeds
         # the 16MB budget with 1536 kv blocks once the batch*heads grid grows
