@@ -198,7 +198,15 @@ def main():
                     ).astype(jnp.float32),
                 )
                 return (out * do).sum().astype(jnp.float32)
-            return jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+            # same scoped-VMEM budget as the shipped train step: this IS the
+            # real execution path being certified (the 1536-tile residual
+            # forward + 2304-kv backward need the 32MB budget)
+            from clipself_tpu.train.step import _tpu_compiler_options
+
+            return jax.jit(
+                jax.grad(f, argnums=(0, 1, 2)),
+                compiler_options=_tpu_compiler_options(),
+            )
 
         g_flash = loss("flash")(*qkv)
         g_xla = loss("xla")(*qkv)
