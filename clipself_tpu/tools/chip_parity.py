@@ -3,25 +3,30 @@
 Every golden test runs our towers in f32 through the XLA fallback attention;
 the SHIPPED training path runs bf16 with the Pallas flash forward and the
 custom fused one-pass flash backward. This tool bounds the drift of that
-real execution path against the ACTUAL reference implementation:
+real execution path against the ACTUAL reference implementation, for BOTH
+shipped vision towers (EVA02-B/16 @1024 and EVA02-L/14-336 @896 — the two
+configs every reference recipe trains):
 
-  1. builds the reference torch EVA02-B/16 vision tower (seeded random
-     init, `/root/reference/src/open_clip/eva_clip/eva_vit_model.py`) and
+  1. builds the reference torch EVA vision tower (seeded random init,
+     `/root/reference/src/open_clip/eva_clip/eva_vit_model.py`) and
      computes CPU f32 golden activations for the dense-extraction protocol —
-     encode_dense at 224^2 and 1024^2, extract_roi_features and
-     encode_rois_and_image at 1024^2 (`eva_vit_model.py:588-686`)
+     encode_dense at the crop and student sizes, extract_roi_features and
+     encode_rois_and_image at the student size (`eva_vit_model.py:588-686`)
   2. imports the state dict into our Flax tower and runs the SAME inputs
      on the TPU in bf16 with attn_impl='auto' (flash kernels engage at the
      4097-token student sequence) and, for attribution, in f32 over the XLA
-     path on CPU
+     path
   3. compares flash-vs-XLA attention GRADIENTS in bf16 on chip at the
      distill shapes (the custom fused backward vs autodiff through the
-     XLA fallback) and runs one full bf16 distill train step, asserting
-     every gradient/update is finite
+     XLA fallback; per-model head counts exercise both kv-block regimes:
+     b*h=24 -> 2304, b*h=32 -> 768) and runs one full bf16 distill train
+     step, asserting every gradient/update is finite
 
 Writes the drift table to PARITY_CHIP.md and prints one JSON line.
 Usage:  python -m clipself_tpu.tools.chip_parity   (on the TPU host)
         BENCH_CHIP_PARITY=1 python bench.py  (same, via the bench entry)
+        PARITY_MODELS="EVA02-CLIP-B-16:1024" to restrict (name:student_size
+        pairs, comma-separated).
 """
 
 from __future__ import annotations
@@ -38,12 +43,25 @@ REPO = Path(__file__).resolve().parent.parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
-IMG_LARGE = int(os.environ.get("PARITY_IMAGE_SIZE", "1024"))
-N_BOXES = 8
+DEFAULT_MODELS = "EVA02-CLIP-B-16:1024,EVA02-CLIP-L-14-336:896"
+
+# torch-reference constructor kwargs per shipped config
+# (`/root/reference/src/open_clip/eva_clip/model_configs/*.json`; xattn runs
+# the reference's plain-softmax branch — mathematically the same attention)
+_REF_KW = {
+    "EVA02-CLIP-B-16": dict(
+        img_size=224, patch_size=16, num_classes=512, embed_dim=768,
+        depth=12, num_heads=12,
+    ),
+    "EVA02-CLIP-L-14-336": dict(
+        img_size=336, patch_size=14, num_classes=768, embed_dim=1024,
+        depth=24, num_heads=16,
+    ),
+}
 
 
-def _ref_b16():
-    """Reference EVA02-B/16 vision tower, seeded random init."""
+def _ref_tower(model_name: str):
+    """Reference EVA vision tower, seeded random init."""
     import torch
     from functools import partial
 
@@ -53,12 +71,11 @@ def _ref_b16():
     ev = g._ref_module("ref_eva", f"{g.REF}/eva_clip", "eva_vit_model")
     torch.manual_seed(0)
     model = ev.EVAVisionTransformer(
-        img_size=224, patch_size=16, num_classes=512, use_mean_pooling=False,
-        init_values=None, patch_dropout=0.0, embed_dim=768, depth=12,
-        num_heads=12, mlp_ratio=2.6667, qkv_bias=True, drop_path_rate=0.0,
+        use_mean_pooling=False, init_values=None, patch_dropout=0.0,
+        mlp_ratio=2.6667, qkv_bias=True, drop_path_rate=0.0,
         norm_layer=partial(torch.nn.LayerNorm, eps=1e-6), xattn=False,
         rope=True, postnorm=False, pt_hw_seq_len=16, intp_freq=True,
-        naiveswiglu=True, subln=True,
+        naiveswiglu=True, subln=True, **_REF_KW[model_name],
     )
     return model.eval()
 
@@ -77,53 +94,75 @@ def _stats(got: np.ndarray, want: np.ndarray) -> dict:
     }
 
 
-def main():
+N_BOXES = 8
+
+
+def run_model(model_name: str, img_large: int, on_tpu: bool) -> tuple[dict, dict]:
+    """Golden-vs-chip drift for one tower. Returns (results, grad_stats)."""
     import torch
 
     import jax
-
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILE_CACHE", "/root/.cache/jax_compilation"),
-    )
     import jax.numpy as jnp
 
     from clipself_tpu.core.config import get_model_config
     from clipself_tpu.models.factory import create_model
     from clipself_tpu.models.torch_io import import_state_dict
 
-    on_tpu = jax.default_backend() == "tpu"
-    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    cfg = get_model_config(model_name)
+    crop = cfg.vision.image_size
+    patch = cfg.vision.patch_size
+    n_heads = cfg.vision.width // cfg.vision.head_width
+    n_tokens = (img_large // patch) ** 2 + 1
 
     # ---- reference goldens (torch CPU f32) -------------------------------
-    ref = _ref_b16()
     rng = np.random.default_rng(0)
-    img_s = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
-    img_l = rng.normal(size=(1, IMG_LARGE, IMG_LARGE, 3)).astype(np.float32)
+    img_s = rng.normal(size=(1, crop, crop, 3)).astype(np.float32)
+    img_l = rng.normal(size=(1, img_large, img_large, 3)).astype(np.float32)
     lo = rng.uniform(0, 0.6, size=(1, N_BOXES, 2)).astype(np.float32)
     hi = np.clip(lo + rng.uniform(0.1, 0.4, size=(1, N_BOXES, 2)), 0, 1).astype(np.float32)
     boxes = np.concatenate([lo, hi], -1).astype(np.float32)
 
+    # the torch goldens take ~20 min for L/14 on this host: cache them so a
+    # crashed/restarted run (or a re-run after a kernel change) skips them
+    cache_dir = Path(
+        os.environ.get("PARITY_GOLDEN_CACHE", "/root/.cache/clipself_parity")
+    )
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    cache = cache_dir / f"{model_name}_{img_large}_seed0.npz"
     t0 = time.perf_counter()
-    with torch.no_grad():
-        ts = torch.from_numpy(img_s).permute(0, 3, 1, 2)
-        tl = torch.from_numpy(img_l).permute(0, 3, 1, 2)
-        want_dense_s = ref.encode_dense(ts, keep_shape=False).numpy()
-        want_dense_l = ref.encode_dense(tl, keep_shape=False).numpy()
-        want_rois = ref.extract_roi_features(
-            tl, [torch.from_numpy(boxes[0])]
-        ).numpy()
-        want_ri_rois, want_ri_img = ref.encode_rois_and_image(
-            tl, [torch.from_numpy(boxes[0])]
+    ref = _ref_tower(model_name)  # fast; only the 4k-token forwards are slow
+    if cache.exists():
+        z = np.load(cache)
+        want_dense_s, want_dense_l = z["dense_s"], z["dense_l"]
+        want_rois, want_ri_rois, want_ri_img = z["rois"], z["ri_rois"], z["ri_img"]
+        print(f"{model_name} goldens loaded from {cache}", file=sys.stderr)
+    else:
+        with torch.no_grad():
+            ts = torch.from_numpy(img_s).permute(0, 3, 1, 2)
+            tl = torch.from_numpy(img_l).permute(0, 3, 1, 2)
+            want_dense_s = ref.encode_dense(ts, keep_shape=False).numpy()
+            want_dense_l = ref.encode_dense(tl, keep_shape=False).numpy()
+            want_rois = ref.extract_roi_features(
+                tl, [torch.from_numpy(boxes[0])]
+            ).numpy()
+            want_ri_rois, want_ri_img = ref.encode_rois_and_image(
+                tl, [torch.from_numpy(boxes[0])]
+            )
+            want_ri_rois = want_ri_rois.numpy()
+            want_ri_img = want_ri_img.numpy()
+        np.savez(
+            cache, dense_s=want_dense_s, dense_l=want_dense_l, rois=want_rois,
+            ri_rois=want_ri_rois, ri_img=want_ri_img,
         )
-        want_ri_rois = want_ri_rois.numpy()
-        want_ri_img = want_ri_img.numpy()
-    print(f"reference CPU goldens: {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+        print(
+            f"{model_name} reference CPU goldens: "
+            f"{time.perf_counter() - t0:.0f}s (cached to {cache})",
+            file=sys.stderr,
+        )
+    emb_dim = want_rois.shape[-1]
 
     sd = {f"visual.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
-    cfg = get_model_config("EVA02-CLIP-B-16")
 
-    # ---- our model on the REAL path (bf16 + flash kernels) ---------------
     results = {}
 
     def run_paths(dtype, attn_impl, tag):
@@ -132,7 +171,7 @@ def main():
         if dtype == jnp.bfloat16:
             params = jax.tree.map(jnp.asarray, params)  # params stay f32
 
-        # params as jit ARGUMENTS: closing over them embeds ~86M f32
+        # params as jit ARGUMENTS: closing over them embeds ~86-300M f32
         # constants and exceeds the remote-compile upload limit (HTTP 413)
         js, jl = jnp.asarray(img_s, dtype), jnp.asarray(img_l, dtype)
         jb = jnp.asarray(boxes)
@@ -151,13 +190,13 @@ def main():
                 {"params": p}, i, b, method="encode_rois_and_image"
             )
         )(params, jl, jb)
-        results[f"{tag}: encode_dense 224"] = _stats(dense_s, want_dense_s)
-        results[f"{tag}: encode_dense {IMG_LARGE}"] = _stats(dense_l, want_dense_l)
-        results[f"{tag}: extract_roi_features {IMG_LARGE}"] = _stats(
-            np.asarray(rois).reshape(-1, 512), want_rois
+        results[f"{tag}: encode_dense {crop}"] = _stats(dense_s, want_dense_s)
+        results[f"{tag}: encode_dense {img_large}"] = _stats(dense_l, want_dense_l)
+        results[f"{tag}: extract_roi_features {img_large}"] = _stats(
+            np.asarray(rois).reshape(-1, emb_dim), want_rois
         )
         results[f"{tag}: rois_and_image rois"] = _stats(
-            np.asarray(ri_rois).reshape(-1, 512), want_ri_rois
+            np.asarray(ri_rois).reshape(-1, emb_dim), want_ri_rois
         )
         results[f"{tag}: rois_and_image image"] = _stats(ri_img, want_ri_img)
 
@@ -171,9 +210,10 @@ def main():
     if on_tpu:
         from clipself_tpu.ops.attention import multi_head_attention
 
-        b, h, n, d = 2, 12, 4608, 64
+        b, h, d = 2, n_heads, cfg.vision.head_width
+        n = n_tokens + (-n_tokens) % 512
         seg = jnp.asarray(
-            (np.arange(n) < 4097).astype(np.float32)[None].repeat(b, 0)
+            (np.arange(n) < n_tokens).astype(np.float32)[None].repeat(b, 0)
         )
         qkv = [
             jnp.asarray(rng.normal(size=(b, n, h, d)) * 0.3, jnp.bfloat16)
@@ -214,8 +254,8 @@ def main():
         for name, gf, gx in zip("qkv", g_flash, g_xla):
             # compare on the REAL rows only (padding rows are zeroed by the
             # flash segment mask; the xla path sees them through the bias)
-            gf = np.asarray(gf, np.float32)[:, :4097].reshape(-1, d)
-            gx = np.asarray(gx, np.float32)[:, :4097].reshape(-1, d)
+            gf = np.asarray(gf, np.float32)[:, :n_tokens].reshape(-1, d)
+            gx = np.asarray(gx, np.float32)[:, :n_tokens].reshape(-1, d)
             grad_stats[f"d{name}"] = _stats(gf, gx)
 
         # full bf16 distill train step: finite grads/updates end to end
@@ -227,7 +267,7 @@ def main():
         teacher = jax.tree.map(jnp.copy, params)
         tx = build_optimizer(
             params, make_schedule("cosine", 1e-5, 10, 100), wd=0.1,
-            unlocked_groups=12, num_layers=12,
+            unlocked_groups=cfg.vision.layers, num_layers=cfg.vision.layers,
         )
         step = make_train_step(model, tx, clipself_loss, mesh=None)
         state = TrainState.create(params, tx)
@@ -236,12 +276,12 @@ def main():
         hi2 = np.clip(lo2 + rng.uniform(0.05, 0.5, size=(2, m, 2)), 0, 1)
         batch = {
             "images": jnp.asarray(
-                rng.normal(size=(2, IMG_LARGE, IMG_LARGE, 3)), jnp.float32
+                rng.normal(size=(2, img_large, img_large, 3)), jnp.float32
             ),
             "boxes": jnp.asarray(
                 np.concatenate([lo2, hi2, np.ones((2, m, 1))], -1), jnp.float32
             ),
-            "crops": jnp.asarray(rng.normal(size=(2, m, 224, 224, 3)), jnp.float32),
+            "crops": jnp.asarray(rng.normal(size=(2, m, crop, crop, 3)), jnp.float32),
         }
         state, metrics = step(state, teacher, batch, jax.random.PRNGKey(0))
         loss_v = float(metrics["loss"])
@@ -256,60 +296,97 @@ def main():
         }
         assert finite, "non-finite parameters after the bf16 distill step"
 
-    # ---- report -----------------------------------------------------------
-    lines = [
+    return results, grad_stats
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILE_CACHE", "/root/.cache/jax_compilation"),
+    )
+    on_tpu = jax.default_backend() == "tpu"
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+
+    models = []
+    for part in os.environ.get("PARITY_MODELS", DEFAULT_MODELS).split(","):
+        name, size = part.strip().rsplit(":", 1)
+        models.append((name, int(size)))
+
+    header = [
         "# PARITY_CHIP — real-execution-path drift vs the reference",
         "",
         f"Generated by `tools/chip_parity.py` on backend "
         f"`{jax.default_backend()}` ({time.strftime('%Y-%m-%d')}).",
         "",
-        "Golden source: the ACTUAL reference EVA02-B/16 "
+        "Golden source: the ACTUAL reference EVA towers "
         "(`eva_vit_model.py:588-686`), seeded random init, torch CPU f32. "
         "`chip bf16+flash` is the SHIPPED path: bf16 activations, Pallas "
         "flash forward + custom fused one-pass backward at the 4097-token "
         "student sequence. The f32/XLA row isolates implementation drift "
         "from precision drift.",
-        "",
-        "| Path | max abs | mean abs | min cosine |",
-        "|---|---|---|---|",
     ]
-    for k, v in results.items():
-        if "max_abs" in v:
-            lines.append(
-                f"| {k} | {v['max_abs']:.2e} | {v['mean_abs']:.2e} | "
-                f"{v['min_cos']:.6f} |"
-            )
-    if grad_stats:
+    # write the report incrementally so a crash mid-run keeps finished models
+    per_model = {}
+    lines = list(header)
+    for name, size in models:
+        per_model[name] = run_model(name, size, on_tpu)
+        results, grad_stats = per_model[name]
         lines += [
             "",
-            "Flash fused backward vs XLA-autodiff backward, bf16 on chip, "
-            "distill shapes [2, 12, 4608(4097 real), 64]:",
+            f"## {name} (student {size}px)",
             "",
-            "| Grad | max abs | mean abs | min cosine |",
+            "| Path | max abs | mean abs | min cosine |",
             "|---|---|---|---|",
         ]
-        for k, v in grad_stats.items():
-            lines.append(
-                f"| {k} | {v['max_abs']:.2e} | {v['mean_abs']:.2e} | "
-                f"{v['min_cos']:.6f} |"
-            )
-    if "train step bf16+fused-bwd" in results:
-        ts = results["train step bf16+fused-bwd"]
-        lines += [
-            "",
-            f"Full bf16 distill train step ({IMG_LARGE}px, 20 crops, fused "
-            f"flash backward): loss = {ts['loss']:.4f}, all parameters "
-            f"finite after the update = {ts['all_params_finite']}.",
-        ]
-    (REPO / "PARITY_CHIP.md").write_text("\n".join(lines) + "\n")
+        for k, v in results.items():
+            if "max_abs" in v:
+                lines.append(
+                    f"| {k} | {v['max_abs']:.2e} | {v['mean_abs']:.2e} | "
+                    f"{v['min_cos']:.6f} |"
+                )
+        if grad_stats:
+            lines += [
+                "",
+                "Flash fused backward vs XLA-autodiff backward, bf16 on chip, "
+                "distill shapes:",
+                "",
+                "| Grad | max abs | mean abs | min cosine |",
+                "|---|---|---|---|",
+            ]
+            for k, v in grad_stats.items():
+                lines.append(
+                    f"| {k} | {v['max_abs']:.2e} | {v['mean_abs']:.2e} | "
+                    f"{v['min_cos']:.6f} |"
+                )
+        if "train step bf16+fused-bwd" in results:
+            ts = results["train step bf16+fused-bwd"]
+            lines += [
+                "",
+                f"Full bf16 distill train step ({size}px, 20 crops, fused "
+                f"flash backward): loss = {ts['loss']:.4f}, all parameters "
+                f"finite after the update = {ts['all_params_finite']}.",
+            ]
+        (REPO / "PARITY_CHIP.md").write_text("\n".join(lines) + "\n")
+        print(f"{name} done; PARITY_CHIP.md updated", file=sys.stderr)
+
+    all_results = {
+        f"{name}: {k}": v
+        for name, (results, _) in per_model.items()
+        for k, v in results.items()
+    }
     summary = {
         "metric": "min feature cosine, chip bf16+flash vs reference f32 goldens",
         "value": min(
-            v["min_cos"] for k, v in results.items()
-            if "min_cos" in v and k.startswith("chip")
+            (
+                v["min_cos"] for k, v in all_results.items()
+                if "min_cos" in v and "chip" in k
+            ),
+            default=None,
         ) if on_tpu else None,
-        "paths": results,
-        "grads": grad_stats,
+        "paths": all_results,
+        "grads": {name: g for name, (_, g) in per_model.items()},
     }
     print(json.dumps(summary))
     return summary

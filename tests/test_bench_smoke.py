@@ -37,3 +37,18 @@ def test_bench_main(monkeypatch, extra):
     assert result["unit"] == "images/sec/chip"
     assert result["value"] > 0
     assert "vs_baseline" in result
+
+
+def test_bench_eval_mode(monkeypatch):
+    for k, v in {
+        **TINY_ENV,
+        "BENCH_EVAL": "1",
+        "BENCH_EVAL_BATCH": "2",
+        "BENCH_EVAL_ANNS": "4",
+        "BENCH_EVAL_BATCHES": "2",
+    }.items():
+        monkeypatch.setenv(k, v)
+    result = bench.main()
+    assert result["unit"] == "images/sec/chip"
+    assert result["value"] > 0
+    assert result["eval_5k_minutes_per_chip"] > 0
