@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--pretrained-image", action="store_true",
                    help="load pretrained weights for the image trunk; timm "
                         "towers only, as in the reference (factory.py:182-187)")
+    p.add_argument("--force-quick-gelu", action="store_true",
+                   help="force QuickGELU activations regardless of the model "
+                        "config (reference main.py:125)")
     # method
     p.add_argument("--dataset-type", default="grid_distill",
                    choices=["grid_distill", "proposals_distill", "region_clip"])
@@ -62,6 +65,13 @@ def parse_args(argv=None):
     p.add_argument("--val-data", default=None)
     p.add_argument("--val-image-root", default=None)
     p.add_argument("--val-segm-root", default=None)
+    p.add_argument("--test-type", default="coco_panoptic",
+                   choices=["coco_panoptic"],
+                   help="val dataset type (reference data.py:643; "
+                        "coco_panoptic is the only type any recipe uses)")
+    p.add_argument("--downsample-factor", type=int, default=None,
+                   help="eval dense-map downsample; default = the model's "
+                        "patch size (reference params.py --downsample-factor)")
     p.add_argument("--embed-path", default=None)
     p.add_argument("--det-image-size", type=int, default=1024)
     p.add_argument("--max-boxes", type=int, default=20)
@@ -94,6 +104,8 @@ def parse_args(argv=None):
                         "(reference params.py --epochs-cooldown)")
     p.add_argument("--lr-cooldown-end", type=float, default=0.0)
     p.add_argument("--lr-cooldown-power", type=float, default=1.0)
+    p.add_argument("--skip-scheduler", action="store_true",
+                   help="constant LR, no warmup/decay (reference train.py:84)")
     p.add_argument("--grad-clip-norm", type=float, default=None)
     p.add_argument("--accum-freq", type=int, default=1,
                    help="gradient accumulation steps (reference exposes but disables this)")
@@ -120,6 +132,11 @@ def parse_args(argv=None):
     p.add_argument("--export-torch", action="store_true",
                    help="also export each checkpoint in the PyTorch layout")
     p.add_argument("--log-every-n-steps", type=int, default=50)
+    p.add_argument("--debug", action="store_true",
+                   help="DEBUG log level (reference main.py:99)")
+    p.add_argument("--log-local", action="store_true",
+                   help="every process writes its own out-<rank>.log instead "
+                        "of the rank-0-only out.log (reference main.py:88-90)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n-devices", type=int, default=None)
     p.add_argument("--fsdp-size", type=int, default=1,
@@ -214,9 +231,41 @@ def build_data(args, mesh):
     return data
 
 
+def setup_logging(args, out_dir=None):
+    """Rank-aware logging (reference main.py:85-100, logger.py).
+
+    DEBUG level under --debug; once the run dir exists, rank 0 writes
+    out.log (with --log-local, every process writes out-<rank>.log).
+    """
+    level = logging.DEBUG if args.debug else logging.INFO
+    root = logging.getLogger()
+    root.setLevel(level)
+    if not root.handlers:
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter("%(asctime)s | %(message)s"))
+        root.addHandler(h)
+    if out_dir is not None:
+        import jax
+
+        # drop file handlers from any previous in-process run (tests call
+        # main() repeatedly; stale handlers would write into deleted dirs)
+        for h in [h for h in root.handlers if isinstance(h, logging.FileHandler)]:
+            root.removeHandler(h)
+            h.close()
+        rank = jax.process_index()
+        if rank == 0 or args.log_local:
+            fname = f"out-{rank}.log" if args.log_local else "out.log"
+            fh = logging.FileHandler(os.path.join(out_dir, fname))
+            fh.setFormatter(
+                logging.Formatter("%(asctime)s | %(levelname)s | %(message)s")
+            )
+            fh.setLevel(level)
+            root.addHandler(fh)
+
+
 def main(argv=None):
     args = parse_args(argv)
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(message)s")
+    setup_logging(args)
     log = logging.getLogger("clipself_tpu")
 
     import jax
@@ -262,8 +311,16 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, vision=dataclasses.replace(cfg.vision, timm_model_pretrained=True),
         )
+    if args.force_quick_gelu:
+        # reference main.py:125 -> factory quick_gelu override
+        cfg = dataclasses.replace(
+            cfg,
+            vision=dataclasses.replace(cfg.vision, quick_gelu=True),
+            text=dataclasses.replace(cfg.text, quick_gelu=True),
+        )
     args.input_size = cfg.vision.image_size
-    args.downsample_factor = cfg.vision.patch_size
+    if args.downsample_factor is None:
+        args.downsample_factor = cfg.vision.patch_size
     if args.fsdp_size > 1 or args.tp_size > 1:
         n_total = args.n_devices or len(jax.devices())
         shard_dev = args.fsdp_size * args.tp_size
@@ -304,6 +361,7 @@ def main(argv=None):
         ).tobytes().decode().strip()
     out_dir = os.path.join(args.logs, name)
     os.makedirs(out_dir, exist_ok=True)
+    setup_logging(args, out_dir)
     with open(os.path.join(out_dir, "params.txt"), "w") as f:
         for k in sorted(vars(args)):
             f.write(f"{k}: {getattr(args, k)}\n")
@@ -335,9 +393,13 @@ def main(argv=None):
             cooldown_power=args.lr_cooldown_power,
             cooldown_end_lr=args.lr_cooldown_end,
         )
-    schedule = make_schedule(
-        args.lr_scheduler, args.lr, args.warmup, total_steps, **sched_kw
-    )
+    if args.skip_scheduler:
+        # reference train.py:84 never steps the scheduler -> constant base LR
+        schedule = args.lr
+    else:
+        schedule = make_schedule(
+            args.lr_scheduler, args.lr, args.warmup, total_steps, **sched_kw
+        )
     tx = build_optimizer(
         params, schedule, wd=args.wd, beta1=args.beta1, beta2=args.beta2,
         eps=args.eps, grad_clip_norm=args.grad_clip_norm,
@@ -469,9 +531,14 @@ def main(argv=None):
                 loss = float(metrics["loss"])  # device sync: only at log steps
                 loss_meter.update(loss)
                 ips = tput.window()  # per-interval: compile steps don't drag
+                lr_now = (
+                    float(schedule(int(state.step))) if callable(schedule)
+                    else float(schedule)
+                )
                 log.info(
                     f"epoch {epoch} step {i+1}/{steps_per_epoch} "
-                    f"loss {loss:.4f} | {ips:.1f} img/s ({ips / n_dev:.1f}/chip)"
+                    f"loss {loss:.4f} lr {lr_now:.3e} | "
+                    f"{ips:.1f} img/s ({ips / n_dev:.1f}/chip)"
                 )
         completed = epoch + 1
         log.info(f"epoch {epoch} done | mean logged loss {loss_meter.avg:.4f}")

@@ -325,3 +325,34 @@ def test_image_ave_pool_eval(tmp_path, monkeypatch):
     assert seen == {"image_ave_pool": True, "extract_type": "v1"}
     results = json.loads(open(os.path.join(logs, "avepool", "results.jsonl")).read())
     assert any("crop" in k for k in results)
+
+
+def test_logging_and_scheduler_flags(tmp_path):
+    """--debug/--log-local write per-rank DEBUG logs; --skip-scheduler holds
+    the LR at the base value (reference main.py:88-99, train.py:84);
+    --force-quick-gelu swaps the activation (reference main.py:125)."""
+    logs = str(tmp_path / "logs")
+    main(
+        [
+            "--model", "EVA02-CLIP-Tiny-Test", "--synthetic",
+            "--debug", "--log-local", "--skip-scheduler", "--force-quick-gelu",
+            "--test-type", "coco_panoptic", "--downsample-factor", "8",
+            "--steps-per-epoch", "2", "--epochs", "1",
+            "--det-image-size", "64", "--batch-size", "8",
+            "--max-boxes", "4", "--lr", "1e-3",
+            "--zeroshot-frequency", "0", "--save-frequency", "0",
+            "--precision", "fp32", "--lock-image-unlocked-groups", "2",
+            "--name", "flags", "--logs", logs, "--log-every-n-steps", "1",
+        ]
+    )
+    out = os.path.join(logs, "flags")
+    # --log-local: rank-0 file is out-0.log, not out.log
+    text = open(os.path.join(out, "out-0.log")).read()
+    assert not os.path.exists(os.path.join(out, "out.log"))
+    # --skip-scheduler: logged LR equals the base LR at every step (a cosine
+    # schedule with warmup 1000 over 2 steps would log ~1e-6, not 1e-3)
+    assert "lr 1.000e-03" in text
+    recorded = open(os.path.join(out, "params.txt")).read()
+    assert "skip_scheduler: True" in recorded
+    assert "force_quick_gelu: True" in recorded
+    assert "downsample_factor: 8" in recorded
