@@ -250,7 +250,15 @@ def main():
         params, sched, wd=0.1,
         unlocked_groups=cfg.vision.layers, num_layers=cfg.vision.layers,
     )
-    step = make_train_step(model, tx, loss_fn, mesh=None)
+    from clipself_tpu.train.optim import trainable_labels
+
+    step = make_train_step(
+        model, tx, loss_fn, mesh=None,
+        trainable=trainable_labels(
+            params, unlocked_groups=cfg.vision.layers,
+            num_layers=cfg.vision.layers,
+        ),
+    )
     state = TrainState.create(params, tx)
 
     rng = np.random.default_rng(0)

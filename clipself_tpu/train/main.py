@@ -451,9 +451,18 @@ def main(argv=None):
             f"sharded state: fsdp={args.fsdp_size} tp={args.tp_size} "
             f"over mesh {dict(mesh.shape)}"
         )
+    from clipself_tpu.train.optim import trainable_labels
+
     step_fn = make_train_step(
         model, tx, loss_fn, mesh=mesh,
         state_sharding=state_sh, teacher_sharding=teacher_sh,
+        # skip the backward for frozen leaves entirely (torch requires_grad
+        # parity; the labels match the optimizer's freeze mask)
+        trainable=trainable_labels(
+            params, unlocked_groups=args.lock_image_unlocked_groups,
+            num_layers=cfg.vision.layers, lock_image=args.lock_image,
+            freeze_bn_stats=args.lock_image_freeze_bn_stats,
+        ),
     )
     rng = jax.random.PRNGKey(args.seed)
 

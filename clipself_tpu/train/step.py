@@ -41,10 +41,22 @@ def make_train_step(
     donate: bool = True,
     state_sharding=None,
     teacher_sharding=None,
+    trainable=None,
 ):
     """Build the jitted train step.
 
     loss_fn(params, teacher_params, batch, model, rng) -> (loss, metrics).
+
+    `trainable`: optional 'train'/'freeze' label pytree (from
+    `optim.trainable_labels`, the same labels the optimizer masks by).
+    Frozen leaves are stop-gradiented inside the loss closure, so XLA
+    dead-code-eliminates their entire backward computation — the torch
+    reference never computes these either (`requires_grad=False` via
+    `lock()`, `eva_vit_model.py:500-516`). Without it the step still
+    produces correct updates (the optimizer zeroes frozen updates) but
+    wastes time on discarded gradients — measurably the patch-embed conv
+    weight grad against the full 1024^2 image — and reports a `grad_norm`
+    that counts frozen grads torch would never see.
 
     With a mesh, params/opt state are replicated and the batch is sharded on
     `data`; XLA inserts the gradient all-reduce (psum) automatically.
@@ -60,6 +72,11 @@ def make_train_step(
         rng = jax.random.fold_in(rng, state.step)
 
         def lf(p):
+            if trainable is not None:
+                p = jax.tree.map(
+                    lambda x, l: x if l == "train" else jax.lax.stop_gradient(x),
+                    p, trainable,
+                )
             return loss_fn(p, teacher_params, batch, model, rng)
 
         (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)

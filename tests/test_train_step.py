@@ -325,3 +325,55 @@ def test_resnet_torch_roundtrip():
     c = np.asarray(restored["visual"]["attnpool"]["c_proj"]["kernel"])
     d = np.asarray(params["visual"]["attnpool"]["c_proj"]["kernel"])
     np.testing.assert_allclose(c, d, atol=1e-6)
+
+
+def test_trainable_mask_skips_frozen_backward(setup):
+    """Passing `trainable` labels to make_train_step must not change the
+    resulting parameters (the optimizer already zeroes frozen updates) while
+    making frozen-leaf gradients literally zero — the torch reference never
+    computes them at all (requires_grad=False under lock(),
+    eva_vit_model.py:500-516), so grad_norm must count only trainable grads."""
+    model, params, teacher = setup
+    sched = make_schedule("const", 1e-3, warmup=0, total_steps=20)
+    batch = _batch(np.random.default_rng(3))
+    rng = jax.random.PRNGKey(1)
+    results = {}
+    for use_mask in (False, True):
+        tx = build_optimizer(
+            params, sched, wd=0.1, unlocked_groups=1,
+            num_layers=CFG.vision.layers,
+        )
+        labels = trainable_labels(
+            params, unlocked_groups=1, num_layers=CFG.vision.layers
+        ) if use_mask else None
+        step = make_train_step(
+            model, tx, clipself_loss, mesh=None, donate=False,
+            trainable=labels,
+        )
+        state = TrainState.create(jax.tree.map(jnp.array, params), tx)
+        state, metrics = step(state, teacher, batch, rng)
+        results[use_mask] = (
+            jax.tree.map(np.asarray, state.params),
+            float(metrics["loss"]),
+            float(metrics["grad_norm"]),
+        )
+    p0, loss0, gn0 = results[False]
+    p1, loss1, gn1 = results[True]
+    assert loss0 == loss1
+    # same updates leaf by leaf: frozen leaves bit-identical (the optimizer
+    # zeroed them in both runs); trainable leaves within 5% of the 1e-3 Adam
+    # step — the two programs fuse the shared backward differently, and
+    # near-zero grads amplify that noise through g/(sqrt(v)+eps), while a
+    # masking bug would show full 1e-3-scale diffs (or zero frozen grads
+    # where real ones belong)
+    labels = trainable_labels(
+        params, unlocked_groups=1, num_layers=CFG.vision.layers
+    )
+    def check(a, b, l):
+        if l == "freeze":
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, rtol=0, atol=5e-5)
+    jax.tree.map(check, p0, p1, labels)
+    # frozen grads were real (nonzero) without the mask, so the norms differ
+    assert gn1 < gn0
