@@ -412,7 +412,9 @@ class EvaViT(nn.Module):
             or self.cfg.use_shared_rel_pos_bias
         ):
             return t, None, n
-        pad = (-n) % 512
+        from clipself_tpu.ops.attention import flash_pad_target
+
+        pad = flash_pad_target(n) - n
         tp = jnp.concatenate(
             [t, jnp.zeros((t.shape[0], pad, t.shape[2]), t.dtype)], axis=1
         )

@@ -49,13 +49,46 @@ def _flash_available() -> bool:
 
 
 def flash_block_size(n: int, cap: int = 1024) -> int:
-    """Largest supported block size <= cap dividing n (0 if none)."""
-    for b in (1024, 768, 512, 256, 128):
-        if b > cap:
-            continue
+    """Largest multiple-of-128 block size <= cap dividing n (0 if none).
+
+    128 is the TPU lane width: the kv-block becomes the lane dim of the
+    QK^T output inside the kernels, so anything narrower (or non-multiple)
+    forces Mosaic relayouts."""
+    for b in range((min(cap, n) // 128) * 128, 0, -128):
         if n % b == 0:
             return b
     return 0
+
+
+def flash_pad_multiple() -> int:
+    """Sequence-pad granularity for the pad-once trunk path.
+
+    512 guarantees the largest measured block menu (768/1536/2304) but pads
+    the student's 4097 tokens to 4608 (+12.5% on every per-token op, +26% on
+    QK^T/AV). The default 128 pads to 4224 instead (blocks 384/1408): the
+    FLOP saving beats the smaller blocks' per-token slowdown — 16.68 vs
+    15.74 img/s/chip whole-step on v5e (PERF.md)."""
+    return int(os.environ.get("CLIPSELF_PAD_MULTIPLE", "128"))
+
+
+def flash_pad_target(n: int) -> int:
+    """Padded length for an n-token sequence entering the pad-once path.
+
+    At granularity < 512 this does not pad blindly to the next multiple —
+    a length like 1664 (= 13 x 128) admits only 128-wide blocks, which
+    cripples the kernels. Instead it takes the SMALLEST multiple of the
+    granularity that still admits a >= 384-wide block, falling back to the
+    next 512 multiple (512-wide blocks always exist there):
+    4097 -> 4224 (384/1408 blocks), 1601 -> 1920 (384/640), 3137 -> 3200
+    (640)."""
+    m = flash_pad_multiple()
+    if m >= 512:
+        return n + (-n) % m
+    hi = n + (-n) % 512
+    npad = n + (-n) % m
+    while npad < hi and flash_block_size(npad, cap=512) < 384:
+        npad += m
+    return npad
 
 
 @functools.partial(jax.named_call, name="flash_attention")
@@ -96,8 +129,10 @@ def _pallas_flash(q, k, v, scale, segment_mask=None):
                 "segment_mask requires a sequence already padded to a flash "
                 f"block multiple; got n={n}"
             )
-        block = 512 if n >= 512 else 128
-        pad = (-n) % block
+        # same smart pad rule as the pad-once trunk path (4097 -> 4224)
+        npad_t = flash_pad_target(n)
+        pad = npad_t - n
+        block = flash_block_size(npad_t) or 128
     if pad:
         zq = jnp.zeros((b, h, pad, d), q.dtype)
         q = jnp.concatenate([q, zq], axis=2)
@@ -110,16 +145,11 @@ def _pallas_flash(q, k, v, scale, segment_mask=None):
     # measured on v5e: 768 blocks are ~14% faster than 512 for the backward
     # kernels at 4.6k tokens; larger blocks exceed the 16MB VMEM budget
     npad = q.shape[2]
-    if npad % 768 == 0:
-        bwd_block = 768
-    elif npad % 512 == 0:
-        bwd_block = 512  # never above 768 (VMEM), even when fwd block is 1024
-    else:
-        bwd_block = min(block, 512)
+    bwd_block = flash_block_size(npad, cap=768) or min(block, 512)
     # the FORWARD tolerates (and prefers) much larger tiles: 1536^2 measures
     # ~8-12% faster than 768^2 at 4.6k tokens on v5e (fewer grid revisits of
     # the m/l stats); the backward at 1536 would blow VMEM, so it stays apart
-    fwd_block = 1536 if npad % 1536 == 0 else block
+    fwd_block = flash_block_size(npad, cap=1536) or block
     block_sizes = BlockSizes(
         block_q=fwd_block,
         block_k_major=fwd_block,
@@ -133,7 +163,7 @@ def _pallas_flash(q, k, v, scale, segment_mask=None):
         block_k_dq=bwd_block,
         block_q_dq=bwd_block,
     )
-    if _FUSED_BWD and npad % 512 == 0:
+    if _FUSED_BWD and flash_block_size(npad, cap=512) >= 256:
         # our fused one-pass backward (flash_bwd.py) — bundled forward
         if segment_ids is not None:
             segf = segment_ids.q.astype(jnp.float32)

@@ -211,7 +211,9 @@ def run_model(model_name: str, img_large: int, on_tpu: bool) -> tuple[dict, dict
         from clipself_tpu.ops.attention import multi_head_attention
 
         b, h, d = 2, n_heads, cfg.vision.head_width
-        n = n_tokens + (-n_tokens) % 512
+        from clipself_tpu.ops.attention import flash_pad_target
+
+        n = flash_pad_target(n_tokens)
         seg = jnp.asarray(
             (np.arange(n) < n_tokens).astype(np.float32)[None].repeat(b, 0)
         )

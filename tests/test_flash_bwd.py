@@ -204,3 +204,64 @@ class TestClsSplit:
         assert not A.cls_split_applicable(4096)  # no CLS remainder
         assert not A.cls_split_applicable(1601)  # 640^2/16: patches not 512-multiple
         assert not A.cls_split_applicable(197)   # 224^2/16: short XLA path
+
+
+class TestBlockAndPadSelection:
+    """The pad-once trunk path chooses the padded length; the kernels choose
+    blocks that divide it. Both rules must stay in sync (PERF.md: 4097->4224
+    measured +6% whole-step over the old 4608 pad)."""
+
+    def test_block_size_is_largest_lane_multiple_divisor(self):
+        from clipself_tpu.ops.attention import flash_block_size
+
+        assert flash_block_size(4608, cap=1536) == 1536
+        assert flash_block_size(4608, cap=768) == 768
+        assert flash_block_size(4224, cap=1536) == 1408
+        assert flash_block_size(4224, cap=768) == 384
+        assert flash_block_size(4224, cap=2304) == 1408
+        assert flash_block_size(1664, cap=512) == 128  # 13x128: lane-width only
+        assert flash_block_size(197, cap=1024) == 0
+
+    def test_pad_target_default(self, monkeypatch):
+        monkeypatch.delenv("CLIPSELF_PAD_MULTIPLE", raising=False)
+        from clipself_tpu.ops.attention import flash_block_size, flash_pad_target
+
+        # student shapes (1024^2/16 and 896^2/14 both give 4097 tokens)
+        assert flash_pad_target(4097) == 4224
+        # multiscale 640px: blind 128-rounding would land on 1664 (blocks
+        # of 128 only); the rule skips ahead to a >=384-block length
+        assert flash_pad_target(1601) == 1920
+        for n in (4097, 1601, 3137, 401, 769):
+            t = flash_pad_target(n)
+            assert t >= n and t % 128 == 0
+            assert flash_block_size(t, cap=512) >= 384
+            assert t <= n + (-n) % 512  # never worse than the old 512 rule
+
+    def test_pad_target_512_env_restores_old_rule(self, monkeypatch):
+        monkeypatch.setenv("CLIPSELF_PAD_MULTIPLE", "512")
+        from clipself_tpu.ops.attention import flash_pad_target
+
+        assert flash_pad_target(4097) == 4608
+        assert flash_pad_target(1601) == 2048
+
+    def test_fused_bwd_accepts_4224_blocks(self):
+        """The fallback block picker must find (384, 1408) for n=4224 and
+        the kernel must run them (interpret mode, small b/h/d)."""
+        rng = np.random.default_rng(3)
+        n = 4224
+        q, k, v, do = (
+            jnp.asarray(rng.normal(size=(1, 1, n, 8)), jnp.float32)
+            for _ in range(4)
+        )
+        out = ref_attn(q, k, v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * SCALE
+        m = logits.max(axis=-1)
+        l = jnp.exp(logits - m[..., None]).sum(axis=-1)
+        dq, dk, dv = flash_attention_bwd(
+            q, k, v, out.astype(q.dtype), l, m, do, sm_scale=SCALE, interpret=True
+        )
+        f = lambda q, k, v: (ref_attn(q, k, v) * do).sum()
+        rq, rk, rv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(dq, rq, atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(dk, rk, atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(dv, rv, atol=2e-4, rtol=1e-3)
