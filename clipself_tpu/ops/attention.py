@@ -84,9 +84,13 @@ def flash_pad_target(n: int) -> int:
     m = flash_pad_multiple()
     if m >= 512:
         return n + (-n) % m
+    # minimum acceptable block width: 384 measured best at the distill
+    # shapes (4097 -> 4224 with 384/1408 blocks beats 4480's 640/896 and
+    # 4608's 768/2304 menus); raise via env to re-run the A/B
+    minb = int(os.environ.get("CLIPSELF_FLASH_MIN_BLOCK", "384"))
     hi = n + (-n) % 512
     npad = n + (-n) % m
-    while npad < hi and flash_block_size(npad, cap=512) < 384:
+    while npad < hi and flash_block_size(npad, cap=max(512, minb)) < minb:
         npad += m
     return npad
 
@@ -163,7 +167,7 @@ def _pallas_flash(q, k, v, scale, segment_mask=None):
         block_k_dq=bwd_block,
         block_q_dq=bwd_block,
     )
-    if _FUSED_BWD and flash_block_size(npad, cap=512) >= 256:
+    if _FUSED_BWD and flash_block_size(npad, cap=768) >= 256:
         # our fused one-pass backward (flash_bwd.py) — bundled forward
         if segment_ids is not None:
             segf = segment_ids.q.astype(jnp.float32)

@@ -42,6 +42,7 @@ def make_train_step(
     state_sharding=None,
     teacher_sharding=None,
     trainable=None,
+    log_grad_norm: Optional[bool] = None,
 ):
     """Build the jitted train step.
 
@@ -66,7 +67,17 @@ def make_train_step(
     and optimizer state sharded over an `fsdp` mesh axis — XLA then lowers the
     step to all-gather-weights / reduce-scatter-grads with a fully local
     optimizer update (ZeRO-3).
+
+    `log_grad_norm`: emit a `grad_norm` metric (global norm of the trainable
+    gradients). Off by default — the torch reference only ever computes a
+    gradient norm when `--grad-clip-norm` is set (`train.py:106-115`), and
+    the square-sum reductions cost real step time every step (per-HLO
+    profile, PERF.md). None -> CLIPSELF_LOG_GRAD_NORM env (default off).
     """
+    if log_grad_norm is None:
+        import os
+
+        log_grad_norm = os.environ.get("CLIPSELF_LOG_GRAD_NORM", "0") == "1"
 
     def step_fn(state: TrainState, teacher_params, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -87,7 +98,8 @@ def make_train_step(
         params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, MAX_LOGIT_SCALE)
         metrics = dict(metrics)
         metrics["loss"] = loss
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if log_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
         return state.replace(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
     opts = _tpu_compiler_options()

@@ -348,7 +348,7 @@ def test_trainable_mask_skips_frozen_backward(setup):
         ) if use_mask else None
         step = make_train_step(
             model, tx, clipself_loss, mesh=None, donate=False,
-            trainable=labels,
+            trainable=labels, log_grad_norm=True,
         )
         state = TrainState.create(jax.tree.map(jnp.array, params), tx)
         state, metrics = step(state, teacher, batch, rng)
