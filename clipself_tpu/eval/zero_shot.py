@@ -14,6 +14,7 @@ are gathered host-side (multihost gather hook for multi-process runs).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -139,15 +140,33 @@ def evaluate_zero_shot(
         from tqdm import tqdm
 
         it = tqdm(dataloader)
+    # Ann-axis bucketing: the dataset pads every image to max_anns (<=100)
+    # slots, but COCO-Panoptic val images average ~13 segments, and the
+    # dominant eval cost (the per-ann crop encode) is linear in the padded
+    # width. Each batch is sliced to the smallest multiple of `bucket`
+    # covering its highest valid row (exact for any pad layout — rows past
+    # the last valid one are pure padding), so the epoch runs a handful of
+    # static shapes instead of one maximal one. 0 disables.
+    bucket = int(os.environ.get("CLIPSELF_EVAL_ANN_BUCKET", "25"))
+
     for batch in it:
         images = to_device(batch["images"])
         boxes = np.asarray(batch["boxes"])
+        crops, masks = batch["crops"], batch["gt_masks"]
+        if bucket > 0 and boxes.shape[1] > bucket:
+            rows = np.nonzero(boxes[..., 5] > 0.5)[-1]
+            hi = int(rows.max()) + 1 if rows.size else 1
+            width = min(-(-hi // bucket) * bucket, boxes.shape[1])
+            if width < boxes.shape[1]:
+                boxes = boxes[:, :width]
+                crops = crops[:, :width]
+                masks = masks[:, :width]
         logits = batch_features(
             params,
             images,
             to_device(boxes[..., :4]),
-            to_device(batch["crops"]),
-            to_device(batch["gt_masks"]),
+            to_device(crops),
+            to_device(masks),
         )
         valid = boxes[..., 5].reshape(-1) > 0.5
         if valid.sum() == 0:

@@ -301,6 +301,18 @@ def run_model(model_name: str, img_large: int, on_tpu: bool) -> tuple[dict, dict
     return results, grad_stats
 
 
+def carry_sections(report_path: Path, run_names: set) -> list:
+    """Markdown lines of every existing `## <model> (student ...)` section in
+    the report that this run does not regenerate (empty if none)."""
+    carried = []
+    if report_path.exists():
+        for sec in report_path.read_text().split("\n## ")[1:]:
+            sec_name = sec.split(" (student", 1)[0].strip()
+            if sec_name not in run_names:
+                carried += ["", "## " + sec.rstrip("\n")]
+    return carried
+
+
 def main():
     import jax
 
@@ -329,6 +341,11 @@ def main():
         "student sequence. The f32/XLA row isolates implementation drift "
         "from precision drift.",
     ]
+    # a PARITY_MODELS-restricted run must not clobber other models' measured
+    # sections: carry over every existing section this run doesn't regenerate
+    report_path = REPO / "PARITY_CHIP.md"
+    carried = carry_sections(report_path, {name for name, _ in models})
+
     # write the report incrementally so a crash mid-run keeps finished models
     per_model = {}
     lines = list(header)
@@ -370,7 +387,7 @@ def main():
                 f"flash backward): loss = {ts['loss']:.4f}, all parameters "
                 f"finite after the update = {ts['all_params_finite']}.",
             ]
-        (REPO / "PARITY_CHIP.md").write_text("\n".join(lines) + "\n")
+        report_path.write_text("\n".join(lines + carried) + "\n")
         print(f"{name} done; PARITY_CHIP.md updated", file=sys.stderr)
 
     all_results = {

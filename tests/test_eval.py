@@ -123,3 +123,45 @@ def test_evaluate_zero_shot_end_to_end(eva_setup):
     assert all(np.isfinite(v) for v in res.values())
     res2 = evaluate_zero_shot(model, params, batches, emb)
     assert res == res2
+
+
+def test_evaluate_zero_shot_ann_bucketing(eva_setup, monkeypatch):
+    """Bucketing the padded ann axis must not change any metric: batches
+    padded to 12 slots with <=3 valid anns produce identical results with
+    bucket=4 (slices to width 4/8) and with bucketing disabled."""
+    from clipself_tpu.eval.zero_shot import evaluate_zero_shot
+
+    cfg, model, params = eva_setup
+    s = 32
+    gh = gw = s // cfg.vision.patch_size
+    b, m, n_classes = 2, 12, 7
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((n_classes, cfg.embed_dim)).astype(np.float32)
+
+    def make_batch(i, n_valid):
+        r = np.random.default_rng(20 + i)
+        boxes8 = np.zeros((b, m, 8), np.float32)
+        xy = r.uniform(0, 0.5, size=(b, m, 2))
+        boxes8[..., :2] = xy
+        boxes8[..., 2:4] = xy + r.uniform(0.1, 0.5, size=(b, m, 2))
+        boxes8[..., 4] = r.integers(0, n_classes, size=(b, m))
+        boxes8[..., 5] = (np.arange(m) < n_valid)[None, :]
+        # a hole: invalidate a middle row (bucketing must still cover row 2)
+        if n_valid >= 3:
+            boxes8[:, 1, 5] = 0.0
+        boxes8[..., 7] = r.integers(0, 2, size=(b, m))
+        masks = (r.uniform(size=(b, m, gh, gw)) < 0.3).astype(np.float32)
+        masks[:, :, 0, 0] = 1.0
+        return {
+            "images": r.normal(size=(b, s, s, 3)).astype(np.float32),
+            "boxes": boxes8,
+            "crops": r.normal(size=(b, m, s, s, 3)).astype(np.float32),
+            "gt_masks": masks,
+        }
+
+    batches = [make_batch(0, 3), make_batch(1, 2), make_batch(2, 7)]
+    monkeypatch.setenv("CLIPSELF_EVAL_ANN_BUCKET", "0")
+    res_full = evaluate_zero_shot(model, params, batches, emb)
+    monkeypatch.setenv("CLIPSELF_EVAL_ANN_BUCKET", "4")
+    res_bucket = evaluate_zero_shot(model, params, batches, emb)
+    assert res_full == res_bucket
