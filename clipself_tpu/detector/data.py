@@ -200,6 +200,29 @@ class DetectionDataset:
         item["_gt_boxes_full"] = boxes
         item["_gt_labels_full"] = labels
         item["_gt_ignore_full"] = crowd
+        # LVIS protocol fields: annotation (polygon) areas and the image's
+        # federated neg / not-exhaustive category sets mapped to contiguous
+        # labels (lvis-api `LVISEval._prepare`; ref `lvls_ov.py:120-180`).
+        # Plain COCO JSONs lack these keys -> empty, harmless for COCOeval.
+        item["_gt_areas_full"] = np.array(
+            [
+                a.get("area", (a["bbox"][2] * a["bbox"][3]))
+                for a in self.coco.img_to_anns[image_id]
+                if a["category_id"] in self.cat_to_label
+            ],
+            np.float64,
+        )
+        info = self.coco.imgs[image_id]
+        item["_neg_labels"] = sorted(
+            self.cat_to_label[c]
+            for c in info.get("neg_category_ids", [])
+            if c in self.cat_to_label
+        )
+        item["_nel_labels"] = sorted(
+            self.cat_to_label[c]
+            for c in info.get("not_exhaustive_category_ids", [])
+            if c in self.cat_to_label
+        )
         item["valid_hw"] = np.asarray([nh, nw], np.float32)
         return item
 

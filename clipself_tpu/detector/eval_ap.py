@@ -197,25 +197,26 @@ class DetectionEvaluator:
     ) -> dict:
         """Returns mAP / AP50 / AP75 (+ per-group AP50 and per-group mAP)."""
         per_class = np.stack([self._class_ap(c) for c in range(self.num_classes)])
-        with np.errstate(invalid="ignore"):
-            out = {
-                "mAP": float(np.nanmean(per_class)),
-                "AP50": float(np.nanmean(per_class[:, 0])),
-                "AP75": float(np.nanmean(per_class[:, 5])),
-            }
+
+        def _nm(vals) -> float:
+            # nanmean without the "Mean of empty slice" RuntimeWarning when a
+            # class group is empty or entirely absent from the gt
+            a = np.asarray(vals, np.float64).ravel()
+            a = a[~np.isnan(a)]
+            return float(a.mean()) if a.size else float("nan")
+
+        out = {
+            "mAP": _nm(per_class),
+            "AP50": _nm(per_class[:, 0]),
+            "AP75": _nm(per_class[:, 5]),
+        }
         if class_names is not None:
             name_ap50 = {n: per_class[i, 0] for i, n in enumerate(class_names)}
-            name_map = {n: np.nanmean(per_class[i]) for i, n in enumerate(class_names)}
+            name_map = {n: _nm(per_class[i]) for i, n in enumerate(class_names)}
             if base_classes:
-                out["AP50_base"] = float(
-                    np.nanmean([name_ap50[n] for n in base_classes if n in name_ap50])
-                )
+                out["AP50_base"] = _nm([name_ap50[n] for n in base_classes if n in name_ap50])
             if novel_classes:
-                out["AP50_novel"] = float(
-                    np.nanmean([name_ap50[n] for n in novel_classes if n in name_ap50])
-                )
+                out["AP50_novel"] = _nm([name_ap50[n] for n in novel_classes if n in name_ap50])
             for gname, members in (groups or {}).items():
-                out[f"mAP_{gname}"] = float(
-                    np.nanmean([name_map[n] for n in members if n in name_map])
-                )
+                out[f"mAP_{gname}"] = _nm([name_map[n] for n in members if n in name_map])
         return out

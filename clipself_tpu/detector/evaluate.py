@@ -22,6 +22,7 @@ from clipself_tpu.detector.classes import base_novel_mask, coco_split, lvis_spli
 from clipself_tpu.detector.config import PRESETS, FViTConfig
 from clipself_tpu.detector.data import DetectionDataset, collate
 from clipself_tpu.detector.eval_ap import DetectionEvaluator
+from clipself_tpu.detector.eval_lvis import LvisEvaluator
 from clipself_tpu.detector.fvit import FViTDetector, backbone_taps
 
 
@@ -78,8 +79,26 @@ def evaluate_detector(
     # transfer vocabularies, where every class uses the base exponent)
     bm = jnp.asarray(base_novel_mask(split=split))
     predict = make_predict_fn(det, clip_model, cfg, jnp.asarray(class_embed), bm)
-    ev = DetectionEvaluator(cfg.num_classes, with_mask=False)
-    ev_mask = DetectionEvaluator(cfg.num_classes, with_mask=True) if cfg.with_mask else None
+    # OV-LVIS is scored with the official LVIS protocol (federated pos/neg
+    # image sets, per-image 300-det cap, not-exhaustive ignores), matching the
+    # reference's lvis-api LVISEval use (`F-ViT/datasets/lvls_ov.py:120-180`);
+    # everything else uses the COCO protocol.
+    use_lvis = dataset_name == "lvis" and "freq_groups" in split
+    if use_lvis:
+        name_to_grp = {}
+        for gi, g in enumerate(("rare", "common", "frequent")):
+            for n_ in split["freq_groups"][g]:
+                name_to_grp[n_] = gi
+        freq_index = np.array([name_to_grp.get(n_, 2) for n_ in split["all"]])
+        ev = LvisEvaluator(cfg.num_classes, freq_index=freq_index)
+        ev_mask = (
+            LvisEvaluator(cfg.num_classes, freq_index=freq_index, with_mask=True)
+            if cfg.with_mask
+            else None
+        )
+    else:
+        ev = DetectionEvaluator(cfg.num_classes, with_mask=False)
+        ev_mask = DetectionEvaluator(cfg.num_classes, with_mask=True) if cfg.with_mask else None
     log = logging.getLogger("fvit-eval")
 
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
@@ -106,9 +125,19 @@ def evaluate_detector(
             gt_boxes = item["_gt_boxes_full"]
             gt_labels = item["_gt_labels_full"]
             gt_ignore = item["_gt_ignore_full"]
-            ev.add_image(
-                det_boxes, det_scores, det_labels, gt_boxes, gt_labels, gt_ignore
-            )
+            if use_lvis:
+                lvis_kw = dict(
+                    gt_areas=item["_gt_areas_full"],
+                    neg_labels=item["_neg_labels"],
+                    not_exhaustive_labels=item["_nel_labels"],
+                )
+                ev.add_image(
+                    det_boxes, det_scores, det_labels, gt_boxes, gt_labels, **lvis_kw
+                )
+            else:
+                ev.add_image(
+                    det_boxes, det_scores, det_labels, gt_boxes, gt_labels, gt_ignore
+                )
             if ev_mask is not None:
                 hs = int(np.ceil(cfg.image_size / s / mask_stride))
                 det_m = [
@@ -134,26 +163,42 @@ def evaluate_detector(
                 ign_m = np.concatenate(
                     [gt_ignore[:n_m], np.ones(len(gt_boxes) - n_m, bool)]
                 )
-                ev_mask.add_image(
-                    det_boxes, det_scores, det_labels,
-                    gt_boxes[: len(ign_m)], gt_labels[: len(ign_m)], ign_m,
-                    det_masks=det_m,
-                    gt_masks=gt_m + overflow,
-                )
+                if use_lvis:
+                    ev_mask.add_image(
+                        det_boxes, det_scores, det_labels,
+                        gt_boxes[: len(ign_m)], gt_labels[: len(ign_m)],
+                        gt_areas=item["_gt_areas_full"][: len(ign_m)],
+                        det_masks=det_m,
+                        gt_masks=gt_m + overflow,
+                        gt_ignore=ign_m,
+                        **{k: lvis_kw[k] for k in ("neg_labels", "not_exhaustive_labels")},
+                    )
+                else:
+                    ev_mask.add_image(
+                        det_boxes, det_scores, det_labels,
+                        gt_boxes[: len(ign_m)], gt_labels[: len(ign_m)], ign_m,
+                        det_masks=det_m,
+                        gt_masks=gt_m + overflow,
+                    )
         if (start // batch_size + 1) % log_every == 0:
             log.info(f"eval {start + real}/{n} ({(start + real) / (time.time() - t0):.1f} img/s)")
 
-    groups = split.get("freq_groups")
-    metrics = ev.summarize(
-        class_names=split["all"], base_classes=split["seen"],
-        novel_classes=split["unseen"], groups=groups,
-    )
-    if ev_mask is not None:
-        mm = ev_mask.summarize(
+    if use_lvis:
+        metrics = ev.summarize()
+        if ev_mask is not None:
+            metrics.update({f"segm_{k}": v for k, v in ev_mask.summarize().items()})
+    else:
+        groups = split.get("freq_groups")
+        metrics = ev.summarize(
             class_names=split["all"], base_classes=split["seen"],
             novel_classes=split["unseen"], groups=groups,
         )
-        metrics.update({f"segm_{k}": v for k, v in mm.items()})
+        if ev_mask is not None:
+            mm = ev_mask.summarize(
+                class_names=split["all"], base_classes=split["seen"],
+                novel_classes=split["unseen"], groups=groups,
+            )
+            metrics.update({f"segm_{k}": v for k, v in mm.items()})
     return metrics
 
 
