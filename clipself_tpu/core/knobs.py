@@ -1,0 +1,137 @@
+"""Central registry for every runtime performance/behavior knob.
+
+The reference hides runtime behavior behind scattered env vars (`RoPE`,
+`ENV_TYPE` — SURVEY §5 flags this as a quirk to fix); this module is the
+rebuild's single channel instead. Every knob is declared here with its
+default, its documented meaning, and whether it is USER-facing (promoted to
+a CLI flag on the trainers/evaluators) or EXPERIMENT-only (an A/B toggle
+whose measured default you should not normally change — see PERF.md for the
+measurements behind each default).
+
+Resolution order per knob: programmatic override (`set(...)`, what the CLI
+flags call) > environment variable (`CLIPSELF_<NAME>`, kept for experiment
+scripts and tests) > declared default.
+
+Launcher-level env vars intentionally NOT here (they must act before any
+import / in the driver, not per-run): `CLIPSELF_DISTRIBUTED` (opt into
+jax.distributed.initialize, parallel/mesh.py), `CLIPSELF_CACHE` (pretrained
+weight cache dir, models/pretrained.py), `CLIPSELF_DRYRUN_FULL` (driver
+dryrun shape selector, __graft_entry__.py), `PARITY_MODELS` /
+`PARITY_GOLDEN_CACHE` (tools/chip_parity.py), `BENCH_*` (bench.py modes).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+
+@dataclass(frozen=True)
+class Knob:
+    name: str  # also the env var suffix: CLIPSELF_<NAME upper>
+    default: Any
+    kind: type  # int or bool
+    user_facing: bool  # promoted to a CLI flag
+    doc: str
+
+
+_KNOBS: Dict[str, Knob] = {
+    k.name: k
+    for k in [
+        Knob(
+            "eval_ann_bucket", 25, int, True,
+            "Zero-shot eval ann-axis bucket width: each batch's padded ann "
+            "axis is sliced to the smallest multiple covering its last valid "
+            "row (1.68x at real COCO ann counts, PERF.md). 0 disables "
+            "(forced off in multi-process runs). CLI: --eval-ann-bucket.",
+        ),
+        Knob(
+            "pad_multiple", 128, int, True,
+            "Sequence-pad granularity for the pad-once flash trunk path. 128 "
+            "pads 4097->4224 (384/1408 blocks, the measured best); 512 "
+            "restores the conservative 4608 pad with the largest block menu. "
+            "CLI: --pad-multiple.",
+        ),
+        Knob(
+            "scoped_vmem_kib", 32768, int, True,
+            "TPU scoped-VMEM budget for the train step (KiB). The compiler "
+            "default 16MB is too small for the fused flash kernels at 1536 "
+            "tiles; 0 keeps the compiler default. CLI: --scoped-vmem-kib.",
+        ),
+        Knob(
+            "flash_min_block", 384, int, False,
+            "Smallest acceptable flash block width when choosing the pad "
+            "target (flash_pad_target); raise to re-run the 4480/4608 A/Bs.",
+        ),
+        Knob(
+            "flash_fwd_train_block", 1536, int, False,
+            "Block cap for the residual-saving flash forward inside the "
+            "train step (fits the 32MB scoped budget; PERF.md +2.6%).",
+        ),
+        Knob(
+            "fused_flash_bwd", True, bool, False,
+            "Use the custom one-pass fused flash backward (default on, "
+            "PERF.md); 0 falls back to autodiff through the bundled kernel.",
+        ),
+        Knob(
+            "flash_cls_split", False, bool, False,
+            "Exact [CLS; patches] split flash path — measured NEGATIVE on "
+            "v5e (PERF.md), kept as an experiment flag.",
+        ),
+        Knob(
+            "flash_bwd_block_q", 0, int, False,
+            "Override the fused-backward q block (0 = built-in default).",
+        ),
+        Knob(
+            "flash_bwd_block_k", 0, int, False,
+            "Override the fused-backward kv block (0 = built-in default; "
+            "trainers set 768 under remat).",
+        ),
+        Knob(
+            "log_grad_norm", False, bool, False,
+            "Emit a per-step grad_norm metric (costs real step time; the "
+            "reference only computes it under --grad-clip-norm).",
+        ),
+    ]
+}
+
+_overrides: Dict[str, Any] = {}
+
+
+def _parse(knob: Knob, raw: str) -> Any:
+    if knob.kind is bool:
+        return raw == "1"
+    return int(raw)
+
+
+def get(name: str) -> Any:
+    """Resolve a knob: programmatic override > CLIPSELF_* env > default."""
+    knob = _KNOBS[name]
+    if name in _overrides:
+        return _overrides[name]
+    raw = os.environ.get(f"CLIPSELF_{name.upper()}")
+    if raw is not None and raw != "":
+        return _parse(knob, raw)
+    return knob.default
+
+
+def set(name: str, value: Optional[Any]) -> None:  # noqa: A001 - deliberate
+    """Programmatic override (what the CLI flags call). None clears it."""
+    knob = _KNOBS[name]  # KeyError on unknown knobs, on purpose
+    if value is None:
+        _overrides.pop(name, None)
+    else:
+        _overrides[name] = knob.kind(value)
+
+
+def describe() -> str:
+    """One-table summary of every knob (docs / --help epilog)."""
+    rows = []
+    for k in _KNOBS.values():
+        scope = "user (CLI)" if k.user_facing else "experiment"
+        rows.append(
+            f"  {k.name:<22} env CLIPSELF_{k.name.upper():<22} "
+            f"default {k.default!s:<6} [{scope}]"
+        )
+    return "\n".join(rows)

@@ -14,12 +14,13 @@ are gathered host-side (multihost gather hook for multi-process runs).
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from clipself_tpu.core import knobs
 
 
 def _topk_correct(logits: np.ndarray, labels: np.ndarray, k: int = 5) -> np.ndarray:
@@ -105,6 +106,7 @@ def evaluate_zero_shot(
     extract_type: str = "v2",
     gather_fn=None,
     progress: bool = False,
+    ann_bucket: Optional[int] = None,
 ) -> dict:
     """Run the full evaluator.
 
@@ -113,6 +115,8 @@ def evaluate_zero_shot(
         (COCOPanopticEvalDataset batches).
       embeddings: [num_classes, C] text classifier (will be L2-normalized).
       gather_fn: optional cross-process gather (multihost); identity default.
+      ann_bucket: ann-axis bucket width (None -> the `eval_ann_bucket` knob,
+        default 25; 0 disables; forced off in multi-process runs).
     """
     # copy before normalizing — np.asarray aliases a float32 input and an
     # in-place divide would mutate the caller's (often dataset-owned) matrix
@@ -147,11 +151,22 @@ def evaluate_zero_shot(
     # covering its highest valid row (exact for any pad layout — rows past
     # the last valid one are pure padding), so the epoch runs a handful of
     # static shapes instead of one maximal one. 0 disables.
-    bucket = int(os.environ.get("CLIPSELF_EVAL_ANN_BUCKET", "25"))
+    bucket = int(knobs.get("eval_ann_bucket")) if ann_bucket is None else int(ann_bucket)
+    # The width is computed from process-LOCAL batch contents; in a
+    # multi-process run different hosts would trace differently-shaped SPMD
+    # programs for the same step and deadlock. Bucket only when single-process
+    # (multihost eval keeps the static max-ann width).
+    if jax.process_count() > 1:
+        bucket = 0
 
     for batch in it:
-        images = to_device(batch["images"])
         boxes = np.asarray(batch["boxes"])
+        valid = boxes[..., 5].reshape(-1) > 0.5
+        if valid.sum() == 0:
+            # fully-padded batch: nothing to score, skip before paying the
+            # device encode (and a possible extra compile at a new width)
+            continue
+        images = to_device(batch["images"])
         crops, masks = batch["crops"], batch["gt_masks"]
         if bucket > 0 and boxes.shape[1] > bucket:
             rows = np.nonzero(boxes[..., 5] > 0.5)[-1]
@@ -169,8 +184,6 @@ def evaluate_zero_shot(
             to_device(masks),
         )
         valid = boxes[..., 5].reshape(-1) > 0.5
-        if valid.sum() == 0:
-            continue
         labels = boxes[..., 4].reshape(-1)[valid].astype(np.int64)
         for key, lg in zip(("rois", "crops", "maskpool"), logits):
             lg = np.asarray(lg).reshape(-1, emb.shape[0])[valid]

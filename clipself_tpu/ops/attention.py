@@ -13,11 +13,12 @@ for testing.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from clipself_tpu.core import knobs
 
 # Minimum query length for which the Pallas flash kernel pays off.
 _FLASH_MIN_SEQ = 1024
@@ -68,7 +69,7 @@ def flash_pad_multiple() -> int:
     QK^T/AV). The default 128 pads to 4224 instead (blocks 384/1408): the
     FLOP saving beats the smaller blocks' per-token slowdown — 16.68 vs
     15.74 img/s/chip whole-step on v5e (PERF.md)."""
-    return int(os.environ.get("CLIPSELF_PAD_MULTIPLE", "128"))
+    return int(knobs.get("pad_multiple"))
 
 
 def flash_pad_target(n: int) -> int:
@@ -87,7 +88,7 @@ def flash_pad_target(n: int) -> int:
     # minimum acceptable block width: 384 measured best at the distill
     # shapes (4097 -> 4224 with 384/1408 blocks beats 4480's 640/896 and
     # 4608's 768/2304 menus); raise via env to re-run the A/B
-    minb = int(os.environ.get("CLIPSELF_FLASH_MIN_BLOCK", "384"))
+    minb = int(knobs.get("flash_min_block"))
     hi = n + (-n) % 512
     npad = n + (-n) % m
     while npad < hi and flash_block_size(npad, cap=max(512, minb)) < minb:
@@ -167,7 +168,7 @@ def _pallas_flash(q, k, v, scale, segment_mask=None):
         block_k_dq=bwd_block,
         block_q_dq=bwd_block,
     )
-    if _FUSED_BWD and flash_block_size(npad, cap=768) >= 256:
+    if _fused_bwd_enabled() and flash_block_size(npad, cap=768) >= 256:
         # our fused one-pass backward (flash_bwd.py) — bundled forward
         if segment_ids is not None:
             segf = segment_ids.q.astype(jnp.float32)
@@ -218,7 +219,7 @@ def _flash_fused_fwd(q, k, v, segf, scale, block):
     # sequence: e.g. n=2048 divides by a 1024 tile but not 1536, so step
     # down to the largest fitting divisor.
     npad = q.shape[2]
-    train_cap = int(os.environ.get("CLIPSELF_FLASH_FWD_TRAIN_BLOCK", "1536"))
+    train_cap = int(knobs.get("flash_fwd_train_block"))
     cap = block if block <= train_cap else flash_block_size(npad, cap=train_cap)
     out, l, m = _bundled_fwd(q, k, v, segf, scale, cap, save_residuals=True)
     return out, (q, k, v, segf, out, l, m)
@@ -236,12 +237,16 @@ def _flash_fused_bwd(scale, block, res, do):
 
 _flash_fused_vjp.defvjp(_flash_fused_fwd, _flash_fused_bwd)
 
-_FUSED_BWD = os.environ.get("CLIPSELF_FUSED_FLASH_BWD", "1") == "1"
-# Measured NEGATIVE on v5e (PERF.md "CLS-split flash"): exact, but the
-# correction einsums/slices/concats cost more than the 4097->4608 pad FLOPs
-# they remove (whole step 14.91 vs 15.32 img/s/chip). Kept as an
-# experiment flag; default off.
-_CLS_SPLIT = os.environ.get("CLIPSELF_FLASH_CLS_SPLIT", "0") == "1"
+def _fused_bwd_enabled() -> bool:
+    return bool(knobs.get("fused_flash_bwd"))
+
+
+def _cls_split_enabled() -> bool:
+    # Measured NEGATIVE on v5e (PERF.md "CLS-split flash"): exact, but the
+    # correction einsums/slices/concats cost more than the 4097->4608 pad
+    # FLOPs they remove (whole step 14.91 vs 15.32 img/s/chip). Kept as an
+    # experiment knob; default off.
+    return bool(knobs.get("flash_cls_split"))
 
 
 def cls_split_applicable(n: int) -> bool:
@@ -249,8 +254,8 @@ def cls_split_applicable(n: int) -> bool:
     flash over the n-1 patch tokens (an exact block multiple) plus exact
     rank-1 CLS corrections — no padding anywhere."""
     return (
-        _CLS_SPLIT
-        and _FUSED_BWD  # the split's backward is built on our fused kernel
+        _cls_split_enabled()
+        and _fused_bwd_enabled()  # the split's backward builds on our fused kernel
         and (n - 1) >= _FLASH_MIN_SEQ
         and (n - 1) % 512 == 0
         and flash_block_size(n - 1) > 0

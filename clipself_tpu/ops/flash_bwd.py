@@ -138,15 +138,15 @@ def flash_attention_bwd(
     Returns (dq, dk, dv) in q.dtype.
     """
     b, h, n, d = q.shape
-    env_q = os.environ.get("CLIPSELF_FLASH_BWD_BLOCK_Q")
-    if env_q:
-        block_q = int(env_q)
-    env_k = os.environ.get("CLIPSELF_FLASH_BWD_BLOCK_K")
-    if env_k:
+    from clipself_tpu.core import knobs
+
+    if knobs.get("flash_bwd_block_q"):
+        block_q = int(knobs.get("flash_bwd_block_q"))
+    if knobs.get("flash_bwd_block_k"):
         # authoritative override: the trainers set 768 when remat is on
         # (deeper pipelining overflows scoped VMEM at kv=1536); experiments
         # may also raise it
-        block_k = int(env_k)
+        block_k = int(knobs.get("flash_bwd_block_k"))
     if b * h > 24 and block_k > 768:
         # the XLA pipeliner's scoped-VMEM accounting for this kernel exceeds
         # the 16MB budget with 1536 kv blocks once the batch*heads grid grows

@@ -303,13 +303,31 @@ def run_model(model_name: str, img_large: int, on_tpu: bool) -> tuple[dict, dict
 
 def carry_sections(report_path: Path, run_names: set) -> list:
     """Markdown lines of every existing `## <model> (student ...)` section in
-    the report that this run does not regenerate (empty if none)."""
+    the report that this run does not regenerate (empty if none).
+
+    Title contract (enforced by the writer below): every model section opens
+    with a line matching `^## <model name> (student <N>px)` followed by a
+    `_Measured <date> ...` provenance stamp, so carried sections keep their
+    own measurement date instead of inheriting the fresh header's. Sections
+    are split on line-anchored `^## ` only (a mid-line `## ` cannot break
+    the parse), and a section without a stamp gets an explicit
+    `(carried unchanged from a previous run)` annotation.
+    """
+    import re
+
     carried = []
     if report_path.exists():
-        for sec in report_path.read_text().split("\n## ")[1:]:
-            sec_name = sec.split(" (student", 1)[0].strip()
-            if sec_name not in run_names:
-                carried += ["", "## " + sec.rstrip("\n")]
+        parts = re.split(r"(?m)^## ", report_path.read_text())[1:]
+        for sec in parts:
+            m = re.match(r"(?P<name>.+?) \(student", sec.splitlines()[0])
+            sec_name = m.group("name").strip() if m else None
+            if sec_name is None or sec_name not in run_names:
+                lines = sec.rstrip("\n").splitlines()
+                has_stamp = any(l.startswith("_Measured ") for l in lines[1:4])
+                if not has_stamp:
+                    lines.insert(1, "")
+                    lines.insert(2, "_(carried unchanged from a previous run.)_")
+                carried += ["", "## " + "\n".join(lines)]
     return carried
 
 
@@ -355,6 +373,9 @@ def main():
         lines += [
             "",
             f"## {name} (student {size}px)",
+            "",
+            f"_Measured {time.strftime('%Y-%m-%d')} on backend "
+            f"`{jax.default_backend()}` by this run._",
             "",
             "| Path | max abs | mean abs | min cosine |",
             "|---|---|---|---|",

@@ -145,7 +145,33 @@ def parse_args(argv=None):
     p.add_argument("--tp-size", type=int, default=1,
                    help="Megatron tensor parallelism over a 'model' mesh axis "
                         "(head count must divide; 1 = off)")
+    # performance knobs (promoted from the CLIPSELF_* env channel; see
+    # core/knobs.py for the full registry incl. experiment-only toggles)
+    p.add_argument("--eval-ann-bucket", type=int, default=None,
+                   help="zero-shot eval ann-axis bucket width (default 25; "
+                        "0 disables; see core/knobs.py)")
+    p.add_argument("--pad-multiple", type=int, default=None,
+                   help="flash sequence-pad granularity (default 128 -> 4224 "
+                        "pad at the distill shapes; see core/knobs.py)")
+    p.add_argument("--scoped-vmem-kib", type=int, default=None,
+                   help="TPU scoped-VMEM budget for the train step in KiB "
+                        "(default 32768; 0 = compiler default)")
     return p.parse_args(argv)
+
+
+def apply_knob_flags(args) -> None:
+    """Push the promoted CLI knob flags into the central registry
+    (core/knobs.py). Unset flags leave the env/default resolution alone."""
+    from clipself_tpu.core import knobs
+
+    for flag, knob in (
+        ("eval_ann_bucket", "eval_ann_bucket"),
+        ("pad_multiple", "pad_multiple"),
+        ("scoped_vmem_kib", "scoped_vmem_kib"),
+    ):
+        val = getattr(args, flag, None)
+        if val is not None:
+            knobs.set(knob, val)
 
 
 def build_data(args, mesh):
@@ -265,6 +291,7 @@ def setup_logging(args, out_dir=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    apply_knob_flags(args)
     setup_logging(args)
     log = logging.getLogger("clipself_tpu")
 

@@ -75,9 +75,9 @@ def make_train_step(
     profile, PERF.md). None -> CLIPSELF_LOG_GRAD_NORM env (default off).
     """
     if log_grad_norm is None:
-        import os
+        from clipself_tpu.core import knobs
 
-        log_grad_norm = os.environ.get("CLIPSELF_LOG_GRAD_NORM", "0") == "1"
+        log_grad_norm = bool(knobs.get("log_grad_norm"))
 
     def step_fn(state: TrainState, teacher_params, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -133,12 +133,13 @@ def _tpu_compiler_options():
     prefetch/output-pinning decisions the full train graph can exceed it
     (observed: XLA pinning a 14MB flash-backward output in VMEM for an
     elementwise consumer). 32MB gives the scheduler headroom; override with
-    CLIPSELF_SCOPED_VMEM_KIB=0 to keep the compiler default."""
-    import os
+    --scoped-vmem-kib 0 (CLIPSELF_SCOPED_VMEM_KIB=0) to keep the compiler
+    default."""
+    from clipself_tpu.core import knobs
 
     if jax.default_backend() != "tpu":
         return None
-    kib = int(os.environ.get("CLIPSELF_SCOPED_VMEM_KIB", "32768"))
+    kib = int(knobs.get("scoped_vmem_kib"))
     if kib <= 0:
         return None
     return {"xla_tpu_scoped_vmem_limit_kib": kib}

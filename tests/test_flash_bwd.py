@@ -198,7 +198,8 @@ class TestClsSplit:
     def test_applicability_gate(self, monkeypatch):
         from clipself_tpu.ops import attention as A
 
-        monkeypatch.setattr(A, "_CLS_SPLIT", True)  # experiment flag, default off
+        # experiment knob, default off (core/knobs.py)
+        monkeypatch.setenv("CLIPSELF_FLASH_CLS_SPLIT", "1")
         assert A.cls_split_applicable(4097)   # 1024^2/16 student
         assert A.cls_split_applicable(4097)   # 896^2/14 student (same count)
         assert not A.cls_split_applicable(4096)  # no CLS remainder

@@ -377,3 +377,55 @@ def test_trainable_mask_skips_frozen_backward(setup):
     jax.tree.map(check, p0, p1, labels)
     # frozen grads were real (nonzero) without the mask, so the norms differ
     assert gn1 < gn0
+
+
+def test_accum_freq_matches_full_batch(setup):
+    """--accum-freq equivalence: accum=2 over two half batches must produce
+    the same parameters as accum=1 over the full batch (the reference exposes
+    the flag but hard-disables it, `src/training/train.py:89`; first-class
+    here via optax.MultiSteps — this pins that it actually works).
+
+    clipself_loss is a masked mean over valid boxes, so grad-averaging the
+    halves equals the full-batch gradient exactly when both halves carry the
+    same valid count; the batch is built all-valid to make the test exact."""
+    model, params, teacher = setup
+    sched = make_schedule("cosine", 1e-3, warmup=2, total_steps=20)
+
+    rng = np.random.default_rng(3)
+    batches = []
+    for _ in range(2):
+        b = _batch(rng, b=8)
+        # all boxes valid -> both halves have identical valid counts
+        boxes = np.array(b["boxes"])
+        boxes[..., 4] = 1.0
+        b["boxes"] = jnp.asarray(boxes)
+        batches.append(b)
+
+    def run(accum: int):
+        tx = build_optimizer(
+            params, sched, wd=0.1, unlocked_groups=CFG.vision.layers,
+            num_layers=CFG.vision.layers, accum_steps=accum,
+        )
+        step = make_train_step(model, tx, clipself_loss, mesh=None)
+        state = TrainState.create(jax.tree.map(jnp.array, params), tx)
+        key = jax.random.PRNGKey(0)
+        for full in batches:
+            if accum == 1:
+                state, _ = step(state, teacher, full, key)
+            else:
+                for half in (slice(0, 4), slice(4, 8)):
+                    sub = {k: v[half] for k, v in full.items()}
+                    state, _ = step(state, teacher, sub, key)
+        return jax.tree.map(np.asarray, state.params)
+
+    p1 = run(1)
+    p2 = run(2)
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat2 = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(p2)}
+    for k, v in flat1:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(v, flat2[ks], rtol=2e-4, atol=2e-6, err_msg=ks)
+    # sanity: training actually moved unlocked params in both runs
+    a = p1["visual"]["blocks_1"]["mlp"]["w3"]["kernel"]
+    b0 = np.asarray(params["visual"]["blocks_1"]["mlp"]["w3"]["kernel"])
+    assert np.abs(a - b0).max() > 0
