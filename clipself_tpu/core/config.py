@@ -71,6 +71,15 @@ class VisionConfig:
     timm_proj: str = "linear"
     timm_drop: float = 0.0
     timm_drop_path: Optional[float] = None
+    # transformers-Flax trunk grafting (the generic-arbitrary-trunk half of
+    # the reference's timm adapter, `timm_model.py:29-239`): when
+    # hf_trunk_name is set the tower is models/trunk_adapter.FlaxTrunkAdapter
+    # wrapping FlaxAutoModel — a model TYPE like "vit" configured by
+    # hf_trunk_kwargs (stored as a JSON string so the config stays hashable;
+    # config_from_dict accepts a plain dict), or a hub id when reachable.
+    hf_trunk_name: Optional[str] = None
+    hf_trunk_kwargs: Optional[str] = None
+    hf_trunk_pool: str = "cls"  # 'cls' | 'mean'
     ln_eps: float = 1e-6
 
     @property
@@ -177,6 +186,8 @@ def config_from_dict(d: dict, name: str = "") -> CLIPConfig:
     if isinstance(vcfg.get("layers"), (list, tuple)):
         vcfg["resnet_layers"] = tuple(vcfg["layers"])
         vcfg["layers"] = len(vcfg["resnet_layers"])
+    if isinstance(vcfg.get("hf_trunk_kwargs"), dict):
+        vcfg["hf_trunk_kwargs"] = json.dumps(vcfg["hf_trunk_kwargs"], sort_keys=True)
     vision = VisionConfig(**_filter_fields(VisionConfig, vcfg))
     text = TextConfig(**_filter_fields(TextConfig, tcfg))
     multimodal = (

@@ -36,10 +36,33 @@ class CLIP(nn.Module):
 
     def setup(self):
         extra = {}
-        if self.cfg.vision.timm_model_name:
-            from clipself_tpu.models.convnext import ConvNeXtTower
+        if self.cfg.vision.hf_trunk_name:
+            # config-driven transformers-Flax trunk grafting (the
+            # arbitrary-trunk half of the reference's timm adapter)
+            from clipself_tpu.models.trunk_adapter import FlaxTrunkAdapter
 
-            visual_cls = ConvNeXtTower
+            visual_cls = FlaxTrunkAdapter
+        elif self.cfg.vision.timm_model_name:
+            # native towers per timm trunk family (reference builds all of
+            # these through the generic `timm_model.py:29-60` adapter)
+            name = self.cfg.vision.timm_model_name
+            if name.startswith("convnext"):
+                from clipself_tpu.models.convnext import ConvNeXtTower
+
+                visual_cls = ConvNeXtTower
+            elif name.startswith("swin"):
+                from clipself_tpu.models.swin import SwinTower
+
+                visual_cls = SwinTower
+            elif name.startswith("vit_"):
+                from clipself_tpu.models.timm_vit import TimmViTTower
+
+                visual_cls = TimmViTTower
+            else:
+                raise NotImplementedError(
+                    f"timm trunk {name!r} has no native TPU tower "
+                    "(supported families: convnext_*, swin_*, vit_*)"
+                )
         elif self.cfg.vision.eva_model_name:
             visual_cls = EvaViT
         elif self.cfg.vision.resnet_layers:

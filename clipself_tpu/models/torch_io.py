@@ -33,6 +33,79 @@ def _vision_key_map(flax_key: tuple[str, ...], cfg: CLIPConfig):
     transform: 'linear' (transpose 2D), 'conv' (OIHW->HWIO), None (verbatim).
     """
     k = list(flax_key)
+    tm = cfg.vision.timm_model_name or ""
+    # --- Swin tower (classic timm swin state-dict layout: the MSR
+    # checkpoints and HF conversion sources; see models/swin.py) ---
+    if tm.startswith("swin") and k[0] == "trunk":
+        rest = k[1:]
+        ln = {"scale": "weight", "bias": "bias"}
+        if rest[0] == "patch_embed_conv":
+            t = "conv" if rest[1] == "kernel" else None
+            return f"visual.trunk.patch_embed.proj.{'weight' if t else 'bias'}", t
+        if rest[0] == "patch_embed_norm":
+            return f"visual.trunk.patch_embed.norm.{ln[rest[1]]}", None
+        if rest[0] == "norm":
+            return f"visual.trunk.norm.{ln[rest[1]]}", None
+        m = re.fullmatch(r"downsample_norm_(\d+)", rest[0])
+        if m:
+            return f"visual.trunk.layers.{m.group(1)}.downsample.norm.{ln[rest[1]]}", None
+        m = re.fullmatch(r"downsample_reduction_(\d+)", rest[0])
+        if m:
+            return f"visual.trunk.layers.{m.group(1)}.downsample.reduction.weight", "linear"
+        m = re.fullmatch(r"layer(\d+)_block(\d+)", rest[0])
+        if m:
+            base = f"visual.trunk.layers.{m.group(1)}.blocks.{m.group(2)}"
+            sub = rest[1:]
+            if sub[0] in ("norm1", "norm2"):
+                return f"{base}.{sub[0]}.{ln[sub[1]]}", None
+            if sub[0] == "attn_qkv":
+                t = "linear" if sub[1] == "kernel" else None
+                return f"{base}.attn.qkv.{'weight' if t else 'bias'}", t
+            if sub == ["rel_pos_table"]:
+                return f"{base}.attn.relative_position_bias_table", None
+            if sub[0] == "attn_proj":
+                t = "linear" if sub[1] == "kernel" else None
+                return f"{base}.attn.proj.{'weight' if t else 'bias'}", t
+            if sub[0] in ("mlp_fc1", "mlp_fc2"):
+                fc = "fc1" if sub[0] == "mlp_fc1" else "fc2"
+                t = "linear" if sub[1] == "kernel" else None
+                return f"{base}.mlp.{fc}.{'weight' if t else 'bias'}", t
+    # --- timm plain-ViT tower (vit_relpos/vit_gap layout; models/timm_vit.py) ---
+    if tm.startswith("vit_"):
+        ln = {"scale": "weight", "bias": "bias"}
+        if k[0] == "patch_embed_conv":
+            t = "conv" if k[1] == "kernel" else None
+            return f"visual.trunk.patch_embed.proj.{'weight' if t else 'bias'}", t
+        if k == ["cls_token"]:
+            return "visual.trunk.cls_token", None
+        if k == ["pos_embed"]:
+            return "visual.trunk.pos_embed", None
+        if k[0] in ("norm", "fc_norm") and len(k) == 2:
+            return f"visual.trunk.{k[0]}.{ln[k[1]]}", None
+        m = re.fullmatch(r"block(\d+)", k[0])
+        if m:
+            base = f"visual.trunk.blocks.{m.group(1)}"
+            sub = k[1:]
+            if sub[0] in ("norm1", "norm2"):
+                return f"{base}.{sub[0]}.{ln[sub[1]]}", None
+            if sub[0] == "attn_qkv":
+                t = "linear" if sub[1] == "kernel" else None
+                return f"{base}.attn.qkv.{'weight' if t else 'bias'}", t
+            if sub[0] == "attn_proj":
+                t = "linear" if sub[1] == "kernel" else None
+                return f"{base}.attn.proj.{'weight' if t else 'bias'}", t
+            if sub[0] in ("mlp_fc1", "mlp_fc2"):
+                fc = "fc1" if sub[0] == "mlp_fc1" else "fc2"
+                t = "linear" if sub[1] == "kernel" else None
+                return f"{base}.mlp.{fc}.{'weight' if t else 'bias'}", t
+        m = re.fullmatch(r"rel_pos(\d+)", k[0])
+        if m:
+            # timm keeps the bias MLP on the attention module
+            t = "linear" if k[2] == "kernel" else None
+            return (
+                f"visual.trunk.blocks.{m.group(1)}.attn.rel_pos.mlp."
+                f"{k[1]}.{'weight' if t else 'bias'}", t,
+            )
     if k == ["patch_embed", "kernel"]:
         return "visual.patch_embed.proj.weight", "conv"
     if k == ["patch_embed", "bias"]:

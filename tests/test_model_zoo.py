@@ -90,14 +90,21 @@ def test_hf_text_tower():
 
 
 def test_trunk_adapter_dense_protocol():
+    import json as _json
+
+    from clipself_tpu.core.config import VisionConfig
     from clipself_tpu.models.trunk_adapter import FlaxTrunkAdapter
 
     adapter = FlaxTrunkAdapter(
-        "vit", embed_dim=16,
-        hf_config_kwargs=dict(
-            hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
-            intermediate_size=64, image_size=32, patch_size=8, num_channels=3,
+        VisionConfig(
+            image_size=32, hf_trunk_name="vit",
+            hf_trunk_kwargs=_json.dumps(dict(
+                hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+                intermediate_size=64, image_size=32, patch_size=8,
+                num_channels=3,
+            )),
         ),
+        embed_dim=16,
     )
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
@@ -439,3 +446,37 @@ def test_convnext_config_family_registered():
     assert params is None  # module builds without eager init
     cfg_d = get_model_config("convnext_large_d")
     assert cfg_d.vision.timm_proj == "mlp"
+
+
+def test_trunk_adapter_factory_route_and_hf_import():
+    """`create_model` must build the FlaxTrunkAdapter tower from a config
+    (`vision_cfg.hf_trunk_name`, VERDICT r2 #5), and `load_hf_trunk_params`
+    must import a torch HF checkpoint whose forward then matches torch."""
+    import torch
+    from transformers import ViTConfig, ViTModel
+
+    from clipself_tpu.core.config import get_model_config
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.trunk_adapter import load_hf_trunk_params
+
+    cfg = get_model_config("hf-vit-tiny-test")
+    assert cfg.vision.hf_trunk_name == "vit"
+    model, params = create_model(cfg, dtype=jnp.float32)
+
+    torch.manual_seed(0)
+    hf = ViTModel(ViTConfig(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, image_size=32, patch_size=8, num_channels=3,
+    ), add_pooling_layer=False).eval()
+    rng = np.random.default_rng(2)
+    head = rng.normal(size=(16, 32)).astype(np.float32) * 0.1
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    sd["head.weight"] = head
+    params = load_hf_trunk_params(sd, dict(params), cfg)
+
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        tokens = hf(torch.from_numpy(img).permute(0, 3, 1, 2)).last_hidden_state
+        want = tokens[:, 0].numpy() @ head.T
+    got = model.apply({"params": params}, jnp.asarray(img), method="encode_image")
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)

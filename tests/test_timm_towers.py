@@ -1,0 +1,344 @@
+"""Native Swin / timm-ViT towers: goldens and protocol tests.
+
+Swin math is golden-pinned against transformers' torch `SwinModel` — an
+implementation independent of ours — with weights imported through the
+timm-layout `torch_io` path (the layout of the MSR checkpoints the
+reference's `timm_model.py:29-60` adapter consumes). The two timm plain-ViT
+variants (`vit_relpos_medium_patch16_cls_224`, `vit_medium_patch16_gap_256`)
+have no independent oracle available offline (timm absent, no released
+checkpoints); they are pinned structurally: translation-invariant rel-pos
+bias, pooling semantics, dense-protocol consistency, and a torch_io
+export/import round-trip on the documented timm key layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+from clipself_tpu.models.factory import create_model
+from clipself_tpu.models.torch_io import import_state_dict
+
+TEXT_TINY = TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1)
+
+
+# ---------------------------------------------------------------------------
+# Swin goldens vs transformers' torch SwinModel
+
+
+def _hf_swin_to_timm_keys(hf_sd) -> dict:
+    """transformers SwinModel state-dict -> classic timm swin layout
+    (the layout models/torch_io.py imports)."""
+    out = {}
+    for k, v in hf_sd.items():
+        if "relative_position_index" in k or k.startswith("pooler"):
+            continue
+        k2 = (
+            k.replace("embeddings.patch_embeddings.projection", "patch_embed.proj")
+            .replace("embeddings.norm", "patch_embed.norm")
+            .replace("encoder.layers", "layers")
+            .replace("layernorm_before", "norm1")
+            .replace("layernorm_after", "norm2")
+            .replace("attention.self.relative_position_bias_table",
+                     "attn.relative_position_bias_table")
+            .replace("attention.output.dense", "attn.proj")
+            .replace("intermediate.dense", "mlp.fc1")
+            .replace("output.dense", "mlp.fc2")
+        )
+        if k2 == "layernorm.weight":
+            k2 = "norm.weight"
+        if k2 == "layernorm.bias":
+            k2 = "norm.bias"
+        out[f"visual.trunk.{k2}"] = v.detach().numpy()
+    # HF keeps q/k/v separate; timm packs them into one qkv linear
+    drop = [k for k in out if ".attention.self." in k]
+    for k in drop:
+        del out[k]
+    import re
+
+    blocks = sorted(
+        {
+            tuple(re.match(r"encoder\.layers\.(\d+)\.blocks\.(\d+)\.", k).groups())
+            for k in hf_sd
+            if re.match(r"encoder\.layers\.(\d+)\.blocks\.(\d+)\.", k)
+        }
+    )
+    for i, j in blocks:
+        base = f"encoder.layers.{i}.blocks.{j}.attention.self"
+        for part in ("weight", "bias"):
+            packed = torch.cat(
+                [hf_sd[f"{base}.{p}.{part}"] for p in ("query", "key", "value")], dim=0
+            )
+            out[f"visual.trunk.layers.{i}.blocks.{j}.attn.qkv.{part}"] = (
+                packed.detach().numpy()
+            )
+    return out
+
+
+@pytest.fixture(scope="module")
+def swin_pair():
+    """HF torch Swin (56px, depths [2,2] — stage 0 exercises the shifted
+    4-window mask path, stage 1 the resolution<=window clamp) + our
+    SwinTower with the same weights."""
+    from transformers import SwinConfig, SwinModel
+
+    torch.manual_seed(11)
+    hf = SwinModel(
+        SwinConfig(
+            image_size=56, patch_size=4, embed_dim=16, depths=[2, 2],
+            num_heads=[2, 4], window_size=7, drop_path_rate=0.0,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+    ).eval()
+
+    import clipself_tpu.models.swin as sw
+
+    sw.SWIN_ARCHS.setdefault("swin_test", (16, (2, 2), (2, 4), 7))
+    cfg = CLIPConfig(
+        embed_dim=24,
+        vision=VisionConfig(image_size=56, timm_model_name="swin_test"),
+        text=TEXT_TINY,
+        name="tiny-swin-golden",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    sd = _hf_swin_to_timm_keys(hf.state_dict())
+    rng = np.random.default_rng(5)
+    proj = rng.normal(size=(24, 32)).astype(np.float32) * 0.1
+    sd["visual.head.proj.weight"] = proj
+    params = import_state_dict(sd, dict(params), cfg, strict=False)
+    return hf, proj, cfg, model, params
+
+
+def test_swin_trunk_matches_hf(swin_pair):
+    """Our trunk's final (normed) map == HF last_hidden_state (independent
+    torch math: separate q/k/v, its own roll/mask/merge implementation)."""
+    hf, proj, cfg, model, params = swin_pair
+    rng = np.random.default_rng(40)
+    img = rng.normal(size=(2, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(img).permute(0, 3, 1, 2)).last_hidden_state
+    bound = model.bind({"params": params})
+    got = bound.visual.trunk(jnp.asarray(img))  # [B, 7, 7, 32]
+    got = np.asarray(got).reshape(2, 49, 32)
+    np.testing.assert_allclose(got, want.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_swin_forward_golden(swin_pair):
+    """Full tower forward == proj(avgpool(HF last_hidden_state)) — the
+    TimmModel timm_pool='' head (`timm_model.py:147-151`)."""
+    hf, proj, cfg, model, params = swin_pair
+    rng = np.random.default_rng(41)
+    img = rng.normal(size=(2, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        pooled = hf(torch.from_numpy(img).permute(0, 3, 1, 2)).last_hidden_state.mean(1)
+        want = pooled.numpy() @ proj.T
+    got = model.apply({"params": params}, jnp.asarray(img), method="encode_image")
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+def test_swin_dense_consistency(swin_pair):
+    """encode_dense per-position projection must agree with the pooled
+    forward (pooled == proj(mean(normed map)); dense == proj(normed map))."""
+    hf, proj, cfg, model, params = swin_pair
+    rng = np.random.default_rng(42)
+    img = rng.normal(size=(1, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        want_map = hf(torch.from_numpy(img).permute(0, 3, 1, 2)).last_hidden_state
+        want = want_map.numpy() @ proj.T  # [1, 49, 24]
+    dense = model.apply(
+        {"params": params}, jnp.asarray(img), False, True, method="encode_dense"
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense).reshape(1, 49, 24), want, atol=2e-4, rtol=1e-3
+    )
+
+
+def test_swin_roi_and_maskpool_shapes(swin_pair):
+    hf, proj, cfg, model, params = swin_pair
+    rng = np.random.default_rng(43)
+    img = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    boxes = jnp.asarray(
+        [[[0.1, 0.1, 0.6, 0.7], [0.0, 0.0, 1.0, 1.0]]] * 2, jnp.float32
+    )
+    rois, image = model.apply(
+        {"params": params}, img, boxes, method="encode_rois_and_image"
+    )
+    assert rois.shape == (2, 2, 24) and image.shape == (2, 24)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(rois), axis=-1), 1.0, atol=1e-5
+    )
+    masks = jnp.zeros((2, 3, 7, 7), jnp.float32).at[:, :, 2:5, 2:5].set(1.0)
+    mp = model.apply({"params": params}, img, masks, method="encode_masks")
+    assert mp.shape == (2, 3, 24)
+
+
+# ---------------------------------------------------------------------------
+# timm plain-ViT towers (vit_relpos cls / vit gap)
+
+
+VIT_TINY_ARCHS = {
+    "vit_relpos_test": dict(
+        width=32, depth=2, heads=2, patch=8, cls_token=True, pool="token",
+        rel_pos=True, rel_pos_dim=16, qkv_bias=False, fc_norm=False,
+        abs_pos=False,
+    ),
+    "vit_gap_test": dict(
+        width=32, depth=2, heads=2, patch=8, cls_token=False, pool="avg",
+        rel_pos=False, rel_pos_dim=0, qkv_bias=False, fc_norm=True,
+        abs_pos=True,
+    ),
+}
+
+
+def _tiny_vit(name):
+    import clipself_tpu.models.timm_vit as tv
+
+    for k, v in VIT_TINY_ARCHS.items():
+        tv.TIMM_VIT_ARCHS.setdefault(k, v)
+    cfg = CLIPConfig(
+        embed_dim=24,
+        vision=VisionConfig(image_size=32, timm_model_name=name),
+        text=TEXT_TINY,
+        name=f"tiny-{name}",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32, seed=3)
+    return cfg, model, params
+
+
+def test_relpos_bias_is_translation_invariant():
+    """The rel-pos bias must depend only on (dy, dx): entries for pairs with
+    equal offsets are equal, and the class-token row/column is zero."""
+    from clipself_tpu.models.timm_vit import RelPosMlp
+
+    m = RelPosMlp(num_heads=2, hidden_dim=16, prefix_tokens=1)
+    params = m.init(jax.random.PRNGKey(0), 4, 4)
+    bias = np.asarray(m.apply(params, 4, 4))  # [2, 17, 17]
+    assert bias.shape == (2, 17, 17)
+    np.testing.assert_array_equal(bias[:, 0, :], 0.0)
+    np.testing.assert_array_equal(bias[:, :, 0], 0.0)
+    p = bias[:, 1:, 1:].reshape(2, 16, 16)
+
+    def off(i, j):  # token i=(r,c) attending j: offset (dr, dc)
+        return (i // 4 - j // 4, i % 4 - j % 4)
+
+    # same offset -> identical bias, across distinct pairs
+    pairs = [((0, 5), (5, 10)), ((1, 6), (9, 14)), ((2, 0), (10, 8))]
+    for (a1, b1), (a2, b2) in pairs:
+        assert off(a1, b1) == off(a2, b2)
+        np.testing.assert_allclose(p[:, a1, b1], p[:, a2, b2], rtol=1e-6)
+    # different offsets -> (generically) different bias
+    assert not np.allclose(p[:, 0, 1], p[:, 0, 2])
+
+
+def test_relpos_tower_forward_and_protocol():
+    cfg, model, params = _tiny_vit("vit_relpos_test")
+    rng = np.random.default_rng(50)
+    img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    out = model.apply({"params": params}, img, method="encode_image")
+    assert out.shape == (2, 24)
+    dense = model.apply({"params": params}, img, False, True, method="encode_dense")
+    assert dense.shape == (2, 4, 4, 24)
+    # no absolute position embedding in the relpos variant
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = {jax.tree_util.keystr(k) for k, _ in flat}
+    assert not any("pos_embed" in n for n in names)
+    assert any("rel_pos0" in n for n in names)
+
+
+def test_gap_tower_pooling_semantics():
+    """GAP variant: pooled forward == proj(fc_norm(mean(tokens))) computed
+    from the dense path's pre-norm tokens — pins the fc_norm placement
+    (timm use_fc_norm: Identity pre-pool norm, LN after pooling)."""
+    cfg, model, params = _tiny_vit("vit_gap_test")
+    rng = np.random.default_rng(51)
+    img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    pooled = np.asarray(model.apply({"params": params}, img, method="encode_image"))
+
+    bound = model.bind({"params": params})
+    tokens = bound.visual._tokens(img)  # [B, 16, 32], pre-norm
+    mean = np.asarray(tokens).mean(axis=1)
+    g, b = (
+        np.asarray(params["visual"]["fc_norm"]["scale"]),
+        np.asarray(params["visual"]["fc_norm"]["bias"]),
+    )
+    mu = mean.mean(-1, keepdims=True)
+    var = ((mean - mu) ** 2).mean(-1, keepdims=True)
+    normed = (mean - mu) / np.sqrt(var + 1e-6) * g + b
+    want = normed @ np.asarray(params["visual"]["proj"]["kernel"])
+    np.testing.assert_allclose(pooled, want, atol=1e-4, rtol=1e-4)
+    # cls-free tower: token count is exactly the patch grid
+    assert tokens.shape[1] == 16
+
+
+def test_timm_vit_torch_io_roundtrip():
+    """Export to the timm key layout and re-import into a fresh init; params
+    must round-trip exactly (pins the documented checkpoint contract)."""
+    from clipself_tpu.models.torch_io import export_state_dict
+
+    for name in ("vit_relpos_test", "vit_gap_test"):
+        cfg, model, params = _tiny_vit(name)
+        sd = export_state_dict(params, cfg)
+        assert any(k.startswith("visual.trunk.blocks.0.attn.qkv") for k in sd)
+        if name == "vit_relpos_test":
+            assert "visual.trunk.blocks.0.attn.rel_pos.mlp.fc1.weight" in sd
+        else:
+            assert "visual.trunk.pos_embed" in sd and "visual.trunk.fc_norm.weight" in sd
+        _, params2 = create_model(cfg, dtype=jnp.float32, seed=9)
+        params2 = import_state_dict(sd, dict(params2), cfg, strict=True)
+        a = jax.tree_util.tree_leaves_with_path(params)
+        b = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(params2)}
+        for k, v in a:
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(b[jax.tree_util.keystr(k)]), err_msg=jax.tree_util.keystr(k))
+
+
+def test_swin_torch_io_roundtrip():
+    from clipself_tpu.models.torch_io import export_state_dict
+
+    import clipself_tpu.models.swin as sw
+
+    sw.SWIN_ARCHS.setdefault("swin_test", (16, (2, 2), (2, 4), 7))
+    cfg = CLIPConfig(
+        embed_dim=24,
+        vision=VisionConfig(image_size=56, timm_model_name="swin_test"),
+        text=TEXT_TINY,
+        name="tiny-swin-rt",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32, seed=4)
+    sd = export_state_dict(params, cfg)
+    assert "visual.trunk.layers.0.blocks.1.attn.relative_position_bias_table" in sd
+    assert "visual.trunk.layers.0.downsample.reduction.weight" in sd
+    _, params2 = create_model(cfg, dtype=jnp.float32, seed=10)
+    params2 = import_state_dict(sd, dict(params2), cfg, strict=True)
+    a = jax.tree_util.tree_leaves_with_path(params)
+    b = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(params2)}
+    for k, v in a:
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(b[jax.tree_util.keystr(k)]), err_msg=jax.tree_util.keystr(k))
+
+
+# ---------------------------------------------------------------------------
+# registry health: every registered config must build
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name,size",
+    [
+        ("swin_base_patch4_window7_224", 224),
+        ("vit_relpos_medium_patch16_cls_224", 224),
+        ("vit_medium_patch16_gap_256", 256),
+    ],
+)
+def test_full_size_timm_configs_build_and_forward(name, size):
+    from clipself_tpu.core.config import get_model_config
+
+    cfg = get_model_config(name)
+    model, params = create_model(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, size, size, 3), jnp.float32)
+    out = model.apply({"params": params}, x, method="encode_image")
+    assert out.shape == (1, cfg.embed_dim)
+    assert bool(jnp.isfinite(out).all())
