@@ -192,6 +192,31 @@ def main():
         from clipself_tpu.tools.chip_parity import main as parity_main
 
         return parity_main()
+    result = _bench_distill()
+    # Track BOTH shipped towers: half the reference's recipes train the
+    # L/14-336 student at 896px (train_*_eva_vitl14.sh). Unless the caller
+    # pinned a model (an A/B run) or opted out, append the L/14 line to the
+    # same JSON record so BENCH_r*.json captures both.
+    second = (
+        "BENCH_MODEL" not in os.environ
+        and os.environ.get("BENCH_SECOND_TOWER", "1") == "1"
+    )
+    if second:
+        os.environ["BENCH_MODEL"] = "EVA02-CLIP-L-14-336"
+        os.environ["BENCH_IMAGE_SIZE"] = "896"
+        os.environ["BENCH_CROP_SIZE"] = "336"
+        try:
+            l14 = _bench_distill()
+            result["l14_336_896px_img_s"] = l14["value"]
+            result["l14_336_896px_vs_baseline"] = l14["vs_baseline"]
+        finally:
+            for k in ("BENCH_MODEL", "BENCH_IMAGE_SIZE", "BENCH_CROP_SIZE"):
+                del os.environ[k]
+    print(json.dumps(result))
+    return result
+
+
+def _bench_distill():
     import jax
 
     # persistent compilation cache: repeated bench runs skip the (slow)
@@ -337,7 +362,8 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / BASELINE_PER_CHIP, 4),
     }
-    print(json.dumps(result))
+    # free this tower's device state before a possible second-tower bench
+    del state, teacher, batches, step
     return result
 
 

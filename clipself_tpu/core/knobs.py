@@ -60,6 +60,13 @@ _KNOBS: Dict[str, Knob] = {
             "tiles; 0 keeps the compiler default. CLI: --scoped-vmem-kib.",
         ),
         Knob(
+            "flash_min_seq", 0, int, False,
+            "Minimum self-attention sequence length routed to the Pallas "
+            "flash kernel under impl='auto' (0 = built-in default 1024). "
+            "The L/14 teacher's 577-token crops are the measured crossover "
+            "case (PERF.md).",
+        ),
+        Knob(
             "flash_min_block", 384, int, False,
             "Smallest acceptable flash block width when choosing the pad "
             "target (flash_pad_target); raise to re-run the 4480/4608 A/Bs.",

@@ -389,16 +389,16 @@ class EvaViT(nn.Module):
         per-layer q/k/v pad/copy inside the flash wrapper; padding up front
         trades ~(pad/N) extra MLP flops for zero per-layer copies."""
         from clipself_tpu.ops.attention import (
-            _FLASH_MIN_SEQ,
             _flash_available,
             cls_split_applicable,
             flash_block_size,
+            flash_min_seq,
         )
 
         n = t.shape[1]
         if (
             self.attn_impl == "xla"
-            or n < _FLASH_MIN_SEQ
+            or n < flash_min_seq()
             or flash_block_size(n)
             or not _flash_available()
             # CLS + block-multiple patches (the 1024^2/16 and 896^2/14 student

@@ -21,7 +21,16 @@ import jax.numpy as jnp
 from clipself_tpu.core import knobs
 
 # Minimum query length for which the Pallas flash kernel pays off.
+# Overridable via the `flash_min_seq` knob: the L/14 recipe's 577-token
+# teacher crops sit right at the XLA-vs-flash crossover (the XLA path
+# materializes [B*M, H, 577, 577] f32 logits; flash pads 577->768 with
+# 384/768 blocks instead) — see the PERF.md L/14 A/Bs.
 _FLASH_MIN_SEQ = 1024
+
+
+def flash_min_seq() -> int:
+    v = int(knobs.get("flash_min_seq"))
+    return v if v > 0 else _FLASH_MIN_SEQ
 
 
 def _xla_attention(
@@ -256,7 +265,7 @@ def cls_split_applicable(n: int) -> bool:
     return (
         _cls_split_enabled()
         and _fused_bwd_enabled()  # the split's backward builds on our fused kernel
-        and (n - 1) >= _FLASH_MIN_SEQ
+        and (n - 1) >= flash_min_seq()
         and (n - 1) % 512 == 0
         and flash_block_size(n - 1) > 0
     )
@@ -395,7 +404,7 @@ def multi_head_attention(
     self_attn = k.shape[1] == n
     if impl == "auto":
         use_flash = (
-            mask is None and self_attn and n >= _FLASH_MIN_SEQ and _flash_available()
+            mask is None and self_attn and n >= flash_min_seq() and _flash_available()
         )
     else:
         # an additive mask cannot be expressed to the flash kernel; a forced

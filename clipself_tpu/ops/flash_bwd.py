@@ -143,17 +143,21 @@ def flash_attention_bwd(
     if knobs.get("flash_bwd_block_q"):
         block_q = int(knobs.get("flash_bwd_block_q"))
     if knobs.get("flash_bwd_block_k"):
-        # authoritative override: the trainers set 768 when remat is on
-        # (deeper pipelining overflows scoped VMEM at kv=1536); experiments
-        # may also raise it
+        # authoritative override — beats the b*h heuristic below: the
+        # trainers set 768 when remat is on (deeper pipelining overflows
+        # scoped VMEM at kv=1536); experiments may also raise it
         block_k = int(knobs.get("flash_bwd_block_k"))
-    if b * h > 24 and block_k > 768:
+    elif b * h > 24 and block_k > 1408:
         # the XLA pipeliner's scoped-VMEM accounting for this kernel exceeds
-        # the 16MB budget with 1536 kv blocks once the batch*heads grid grows
+        # the budget with 1536+ kv blocks once the batch*heads grid grows
         # past the B/16 recipe's 2x12 (measured in the full distill graph at
-        # per-chip batch 4 x 12 heads, and at batch 2 x 16 heads for L/14);
-        # 768 fits every measured case
-        block_k = 768
+        # per-chip batch 4 x 12 heads). kv=1408 compiles and runs at the
+        # 32MB scoped budget for L/14 (batch 2 x 16 heads) and is +8%
+        # whole-step over the old 768 cap — which, not dividing the 4224
+        # pad, degraded to 384 (L/14 A/Bs, PERF.md). Choose the largest
+        # fitting divisor <= 1408 (the n-divisor fallback below reduces it
+        # further for sequences 1408 does not divide).
+        block_k = 1408
     if n % block_q or n % block_k:
         from clipself_tpu.ops.attention import flash_block_size
 

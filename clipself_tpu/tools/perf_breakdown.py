@@ -90,6 +90,8 @@ def _run_one(variant: str) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))))
     _apply_patch(variant)
+    # ablation runs time ONE tower (whichever BENCH_MODEL selects)
+    os.environ.setdefault("BENCH_SECOND_TOWER", "0")
     import bench
 
     return bench.main()
