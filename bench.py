@@ -339,12 +339,22 @@ def _bench_distill():
     state, metrics = step(state, teacher, batches[0], key)
     jax.block_until_ready(metrics["loss"])
 
+    # BENCH_PROFILE_DIR: capture a device trace of the timed loop, then
+    # summarize with `python -m clipself_tpu.tools.trace_summary <dir>
+    # --steps $BENCH_STEPS` (the reproducible source of PERF.md's per-HLO
+    # tables)
+    prof_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = step(state, teacher, batches[i % len(batches)], key)
     # fetching the value forces the full chain to complete
     final_loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
+    if prof_dir:
+        jax.profiler.stop_trace()
+        print(f"trace written to {prof_dir}", file=sys.stderr)
     assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
 
     imgs_per_sec = batch_size * steps / dt

@@ -67,6 +67,12 @@ _KNOBS: Dict[str, Knob] = {
             "case (PERF.md).",
         ),
         Knob(
+            "xla_lane_pad", 0, int, False,
+            "Pad short XLA-path token sequences (e.g. the 197-token teacher "
+            "crops) to this multiple for lane alignment; 0 = off (default; "
+            "A/B'd in PERF.md).",
+        ),
+        Knob(
             "flash_min_block", 384, int, False,
             "Smallest acceptable flash block width when choosing the pad "
             "target (flash_pad_target); raise to re-run the 4480/4608 A/Bs.",

@@ -396,6 +396,28 @@ class EvaViT(nn.Module):
         )
 
         n = t.shape[1]
+        from clipself_tpu.core import knobs as _knobs
+
+        lane = int(_knobs.get("xla_lane_pad"))
+        if (
+            lane > 0
+            and n < flash_min_seq()
+            and n % lane
+            and not cls_split_applicable(n)
+            and not self.cfg.use_rel_pos_bias
+            and not self.cfg.use_shared_rel_pos_bias
+        ):
+            # EXPERIMENT (PERF.md): pad short XLA-path sequences (the
+            # 197-token teacher crops) to a lane-friendly multiple; the
+            # dispatcher turns the segment row into an additive bias.
+            pad = (-n) % lane
+            tp = jnp.concatenate(
+                [t, jnp.zeros((t.shape[0], pad, t.shape[2]), t.dtype)], axis=1
+            )
+            seg = jnp.broadcast_to(
+                (jnp.arange(n + pad) < n)[None, :], (t.shape[0], n + pad)
+            )
+            return tp, seg, n
         if (
             self.attn_impl == "xla"
             or n < flash_min_seq()

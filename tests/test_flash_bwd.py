@@ -266,3 +266,23 @@ class TestBlockAndPadSelection:
         np.testing.assert_allclose(dq, rq, atol=2e-4, rtol=1e-3)
         np.testing.assert_allclose(dk, rk, atol=2e-4, rtol=1e-3)
         np.testing.assert_allclose(dv, rv, atol=2e-4, rtol=1e-3)
+
+
+def test_xla_lane_pad_is_exact(monkeypatch):
+    """The experiment lane-pad for short XLA-path sequences (197-token
+    teacher crops -> 256) must be numerically exact: pad rows are masked in
+    attention and the CLS readout ignores them (PERF.md A/B knob)."""
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import get_model_config
+    from clipself_tpu.models.factory import create_model
+
+    cfg = get_model_config("EVA02-CLIP-Tiny-Test")
+    model, params = create_model(cfg, dtype=jnp.float32)
+    img = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 32, 32, 3)), jnp.float32
+    )
+    base = model.apply({"params": params}, img, method="encode_image")
+    monkeypatch.setenv("CLIPSELF_XLA_LANE_PAD", "32")  # 17 tokens -> 32
+    padded = model.apply({"params": params}, img, method="encode_image")
+    np.testing.assert_allclose(np.asarray(padded), np.asarray(base), atol=1e-5)
