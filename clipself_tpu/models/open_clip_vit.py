@@ -34,6 +34,7 @@ from clipself_tpu.models.common import LayerScale
 from clipself_tpu.ops.attention import multi_head_attention
 from clipself_tpu.ops.interpolate import resize_2d
 from clipself_tpu.ops.mask_pool import mask_pool
+from clipself_tpu.ops.patchify import PatchEmbed
 from clipself_tpu.ops.roi_align import denormalize_boxes, roi_align_1x1
 
 Dtype = Any
@@ -118,11 +119,11 @@ class OpenCLIPViT(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.conv1 = nn.Conv(
+        # reshape+matmul patchify (ops/patchify.py): parameter-identical to
+        # the previous stride-p nn.Conv, avoids the C_in=3 MXU lane waste
+        self.conv1 = PatchEmbed(
             c.width,
-            kernel_size=(c.patch_size, c.patch_size),
-            strides=(c.patch_size, c.patch_size),
-            padding="VALID",
+            patch_size=c.patch_size,
             use_bias=False,
             dtype=self.dtype,
             param_dtype=jnp.float32,

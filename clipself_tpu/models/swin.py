@@ -44,6 +44,7 @@ import numpy as np
 from clipself_tpu.core.config import VisionConfig
 from clipself_tpu.models.common import l2_normalize
 from clipself_tpu.ops.mask_pool import mask_pool
+from clipself_tpu.ops.patchify import PatchEmbed
 from clipself_tpu.ops.roi_align import denormalize_boxes, roi_align_1x1, roi_align_nxn
 
 Dtype = Any
@@ -180,9 +181,8 @@ class SwinTrunk(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
-        x = nn.Conv(
-            self.embed_dim, kernel_size=(4, 4), strides=(4, 4), padding="VALID",
-            name="patch_embed_conv", **kw,
+        x = PatchEmbed(
+            self.embed_dim, patch_size=4, name="patch_embed_conv", **kw,
         )(x.astype(self.dtype))
         x = _ln("patch_embed_norm")(x).astype(self.dtype)
         dim = self.embed_dim

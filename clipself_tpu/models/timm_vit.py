@@ -48,6 +48,7 @@ import numpy as np
 
 from clipself_tpu.core.config import VisionConfig
 from clipself_tpu.models.common import l2_normalize
+from clipself_tpu.ops.patchify import PatchEmbed
 from clipself_tpu.ops.mask_pool import mask_pool
 from clipself_tpu.ops.roi_align import denormalize_boxes, roi_align_1x1
 
@@ -154,9 +155,8 @@ class TimmViTTower(nn.Module):
         self.arch = a
         kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
         self.patch = a["patch"]
-        self.patch_embed = nn.Conv(
-            a["width"], kernel_size=(self.patch, self.patch),
-            strides=(self.patch, self.patch), padding="VALID",
+        self.patch_embed = PatchEmbed(
+            a["width"], patch_size=self.patch,
             name="patch_embed_conv", **kw,
         )
         grid = self.cfg.image_size // self.patch

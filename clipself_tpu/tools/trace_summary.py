@@ -74,6 +74,7 @@ def summarize(trace_path: str, steps: int, group: str | None = None) -> dict:
         )
     by_group = defaultdict(float)
     by_name = defaultdict(float)
+    by_source = defaultdict(float)
     group_ops = defaultdict(lambda: defaultdict(float))
     total = 0.0
     for e in ev:
@@ -84,6 +85,8 @@ def summarize(trace_path: str, steps: int, group: str | None = None) -> dict:
         g = classify(name)
         by_group[g] += dur
         by_name[re.sub(r"\.\d+$", "", name)] += dur
+        src = e.get("args", {}).get("source", "?")
+        by_source[src.replace("/root/repo/", "")] += dur
         group_ops[g][name] += dur
         total += dur
     out = {
@@ -98,6 +101,10 @@ def summarize(trace_path: str, steps: int, group: str | None = None) -> dict:
             n: round(ms / steps, 2)
             for n, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:15]
         },
+    }
+    out["by_source"] = {
+        s: round(ms / steps, 2)
+        for s, ms in sorted(by_source.items(), key=lambda kv: -kv[1])[:20]
     }
     if group:
         out["group_detail"] = {
@@ -124,6 +131,9 @@ def main(argv=None):
     print("top ops:", file=sys.stderr)
     for n, ms in out["top_ops"].items():
         print(f"  {ms:8.2f}  {n[:90]}", file=sys.stderr)
+    print("top source lines:", file=sys.stderr)
+    for s, ms in out["by_source"].items():
+        print(f"  {ms:8.2f}  {s[:100]}", file=sys.stderr)
     if args.group:
         print(f"group '{args.group}' detail:", file=sys.stderr)
         for n, ms in out.get("group_detail", {}).items():
