@@ -8,9 +8,13 @@ per (batch, head, kv-block) it streams the query blocks, recomputes S once,
 and derives all three grads — 3 of its 5 matmuls contract over the block
 size (full MXU width) instead of head_dim.
 
-dQ is accumulated in the revisited output block across the sequential kv
-grid axis (TPU grids execute in order, so read-modify-write of a block whose
-index map ignores the kv axis is safe).
+dQ is accumulated in an f32 VMEM scratch across the sequential kv grid axis
+(TPU grids execute in order, so the scratch persists between kv steps of
+the same (batch, head)) and written to the output ONCE, in the native
+dtype, on the last kv step — emitting f32 dq cost a full-tensor HBM
+round-trip plus a ~2 ms/step relayout copy before the caller's cast.
+di = rowsum(dO * O) is computed in-kernel from blocks already resident in
+VMEM instead of a separate fused pass over the full o/do tensors.
 
 Forward pass (and its softmax stats l, m) comes from the bundled kernel via
 `save_residuals`; this module only replaces the backward.
@@ -39,14 +43,16 @@ def _bwd_kernel(
     k_ref,      # [1, 1, Bk, D]
     v_ref,      # [1, 1, Bk, D]
     do_ref,     # [1, 1, N, D]
+    o_ref,      # [1, 1, N, D]   forward output (di = rowsum(dO*O) in-kernel)
     m_ref,      # [1, 1, 1, N]   row-max stats
     l_ref,      # [1, 1, 1, N]   row-sum stats
-    di_ref,     # [1, 1, 1, N]   rowsum(dO * O)
     seg_ref,    # [1, 1, N] int32 segment ids (all-ones when unsegmented)
     # outputs
-    dq_ref,     # [1, 1, N, D]   revisited across the kv grid axis
+    dq_ref,     # [1, 1, N, D]   bf16, written once on the last kv step
     dk_ref,     # [1, 1, Bk, D]
     dv_ref,     # [1, 1, Bk, D]
+    # scratch
+    dq_acc_ref,  # [N, D] f32 accumulator, persistent across the kv axis
     *,
     sm_scale: float,
     block_q: int,
@@ -59,7 +65,7 @@ def _bwd_kernel(
 
     @pl.when(j == 0)
     def _():
-        dq_ref[...] = jnp.zeros_like(dq_ref)
+        dq_acc_ref[...] = jnp.zeros_like(dq_acc_ref)
 
     # matmul operands stay in the NATIVE dtype (bf16 in practice): the MXU
     # takes bf16 operands at full rate, while f32 x f32 dots lower to a
@@ -80,7 +86,12 @@ def _bwd_kernel(
         dob = do_ref[0, 0, qs, :]                  # [Bq, D]
         mb = m_ref[0, 0, 0, qs].astype(f32)[:, None]   # [Bq, 1]
         lb = l_ref[0, 0, 0, qs].astype(f32)[:, None]
-        dib = di_ref[0, 0, 0, qs].astype(f32)[:, None]
+        # di = rowsum(dO * O), computed here instead of a separate fused
+        # pass over the full [B, H, N, D] o/do tensors (saves that pass's
+        # HBM traffic; recomputing per kv step is cheap VPU work on blocks
+        # already resident in VMEM)
+        ob = o_ref[0, 0, qs, :]
+        dib = jnp.sum(ob.astype(f32) * dob.astype(f32), axis=-1)[:, None]
         seg_q = seg_ref[0, 0, qs]
 
         s = jax.lax.dot_general(
@@ -106,7 +117,7 @@ def _bwd_kernel(
         dq_blk = jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
         )
-        dq_ref[0, 0, qs, :] += dq_blk.astype(dq_ref.dtype)
+        dq_acc_ref[qs, :] += dq_blk
         # dK += dS^T @ Q      (contraction over Bq — full width)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, qb, (((0,), (0,)), ((), ())), preferred_element_type=f32
@@ -116,6 +127,15 @@ def _bwd_kernel(
     dk_acc, dv_acc = jax.lax.fori_loop(0, num_q, qloop, (dk_acc, dv_acc))
     dk_ref[0, 0, :, :] = dk_acc.astype(dk_ref.dtype)
     dv_ref[0, 0, :, :] = dv_acc.astype(dv_ref.dtype)
+
+    # dq leaves the kernel in the NATIVE dtype (bf16 in practice): the old
+    # f32 output was cast to q.dtype immediately after the pallas_call
+    # anyway, but only after XLA had round-tripped and relayout-copied the
+    # full f32 tensor through HBM (~2 ms/step on the B/16 recipe, trace
+    # r3). Accumulation stays f32 in the scratch, so numerics are identical.
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0, 0, :, :] = dq_acc_ref[...].astype(dq_ref.dtype)
 
 
 def flash_attention_bwd(
@@ -169,7 +189,6 @@ def flash_attention_bwd(
             raise ValueError(f"seq {n} not blockable")
         block_q, block_k = bq, bk
     f32 = jnp.float32
-    di = jnp.sum(o.astype(f32) * do.astype(f32), axis=-1)  # [B, H, N]
     stats_spec = pl.BlockSpec(
         (1, 1, 1, n), lambda bi, hi, ji: (bi, hi, 0, 0), memory_space=pltpu.VMEM
     )
@@ -194,27 +213,28 @@ def flash_attention_bwd(
             kv_spec,               # k
             kv_spec,               # v
             row_spec,              # do
+            row_spec,              # o (di computed in-kernel)
             stats_spec,            # m
             stats_spec,            # l
-            stats_spec,            # di
             seg_spec,              # seg
         ],
         out_specs=[
-            row_spec,              # dq (revisited over j)
+            row_spec,              # dq (written once, on the last kv step)
             kv_spec,               # dk
             kv_spec,               # dv
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, n, d), f32),
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
         ],
+        scratch_shapes=[pltpu.VMEM((n, d), f32)],  # dq accumulator
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(
-        q, k, v, do,
-        m[:, :, None, :], l[:, :, None, :], di[:, :, None, :], seg,
+        q, k, v, do, o,
+        m[:, :, None, :], l[:, :, None, :], seg,
     )
-    return dq.astype(q.dtype), dk, dv
+    return dq, dk, dv
