@@ -88,6 +88,12 @@ _KNOBS: Dict[str, Knob] = {
             "PERF.md); 0 falls back to autodiff through the bundled kernel.",
         ),
         Knob(
+            "pallas_rope", True, bool, False,
+            "Fuse the rolled-table RoPE's two jnp.roll materializations "
+            "into one Pallas VMEM pass (ops/rope_roll.py, TPU only; "
+            "bit-identical). 0 restores the XLA composition.",
+        ),
+        Knob(
             "flash_cls_split", False, bool, False,
             "Exact [CLS; patches] split flash path — measured NEGATIVE on "
             "v5e (PERF.md), kept as an experiment flag.",

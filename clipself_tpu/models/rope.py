@@ -200,7 +200,29 @@ def apply_rope_flat(
     cos = jnp.asarray(cos_np, dtype=x.dtype)  # [N, W]
     sin_a = jnp.asarray(sa_np, dtype=x.dtype)
     sin_b = jnp.asarray(sb_np, dtype=x.dtype)
+    from clipself_tpu.core import knobs
+    from clipself_tpu.ops import rope_roll
+
+    if (
+        knobs.get("pallas_rope")
+        and _pallas_rope_available()
+        and rope_roll.supported(x.shape[1])
+    ):
+        # fuse the two jnp.roll materializations into one VMEM pass; the
+        # backward reuses the kernel with trace-time-rolled tables (same
+        # math/dtype; ~1 ULP from FMA association, test_rope_roll.py)
+        from clipself_tpu.ops.rope_roll import rolled_rope
+
+        a_bwd = jnp.asarray(np.roll(sa_np, 1, axis=-1), dtype=x.dtype)
+        b_bwd = jnp.asarray(np.roll(sb_np, -1, axis=-1), dtype=x.dtype)
+        return rolled_rope(x, cos, sin_a, sin_b, a_bwd, b_bwd)
     return _apply_rolled(x, cos, sin_a, sin_b)
+
+
+def _pallas_rope_available() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def apply_rope_gathered(
