@@ -94,6 +94,17 @@ _KNOBS: Dict[str, Knob] = {
             "bit-identical). 0 restores the XLA composition.",
         ),
         Knob(
+            "pallas_ln", False, bool, False,
+            "Fuse LayerNorm's stat+normalize passes (and its backward's "
+            "re-reads) into one Pallas VMEM pass per tile in the EVA towers "
+            "(ops/layer_norm.py, TPU only; ~1 ULP FMA drift). Measured "
+            "NEGATIVE at the B/16 recipe: device-neutral (the reduce-fusion "
+            "group collapses 14.7 -> 0.2 ms/step but reappears as generic-"
+            "fusion and kernel time) while ~100 extra custom-call dispatches "
+            "cost ~2.5 ms/step of host gap (PERF.md). Kept as an experiment "
+            "flag for hosts where dispatch is cheap.",
+        ),
+        Knob(
             "flash_cls_split", False, bool, False,
             "Exact [CLS; patches] split flash path — measured NEGATIVE on "
             "v5e (PERF.md), kept as an experiment flag.",

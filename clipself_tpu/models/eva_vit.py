@@ -40,10 +40,46 @@ from clipself_tpu.ops.roi_align import denormalize_boxes, roi_align_1x1
 Dtype = Any
 
 
+class _FusableLayerNorm(nn.Module):
+    """`nn.LayerNorm(dtype=f32)` with a Pallas one-pass TPU path.
+
+    Same param tree as nn.LayerNorm ({scale, bias} in f32), same f32 math
+    and association (fast variance, y = (x-mu)*(rstd*scale)+bias); on TPU
+    the `pallas_ln` knob fuses stats+normalize into one VMEM pass
+    (ops/layer_norm.py) and emits y directly in x.dtype — the cast every
+    call site applies. Off-TPU / unsupported shapes take the XLA
+    composition, written to compile to the same graph nn.LayerNorm does.
+    """
+
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x):
+        w = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (w,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (w,), jnp.float32)
+        from clipself_tpu.core import knobs
+        from clipself_tpu.ops import layer_norm as _pln
+
+        if (
+            x.ndim == 3
+            and knobs.get("pallas_ln")
+            and _pln.available()
+            and _pln.supported(x.shape[1], w)
+        ):
+            return _pln.fused_layer_norm(x, scale, bias, self.epsilon)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0
+        )
+        return (xf - mu) * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
+
+
 def _layer_norm(name: str, eps: float):
     # LayerNorm computes in f32 regardless of activation dtype (parity with
     # the reference's fp32 LN behavior under AMP).
-    return nn.LayerNorm(epsilon=eps, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+    return _FusableLayerNorm(epsilon=eps, name=name)
 
 
 def _rel_pos_index(window: tuple[int, int]):
