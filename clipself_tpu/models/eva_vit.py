@@ -47,11 +47,17 @@ class _FusableLayerNorm(nn.Module):
     and association (fast variance, y = (x-mu)*(rstd*scale)+bias); on TPU
     the `pallas_ln` knob fuses stats+normalize into one VMEM pass
     (ops/layer_norm.py) and emits y directly in x.dtype — the cast every
-    call site applies. Off-TPU / unsupported shapes take the XLA
-    composition, written to compile to the same graph nn.LayerNorm does.
+    call site applies. The fused branch only engages when x.dtype equals
+    the owning tower's compute dtype (`compute_dtype`), so the call-site
+    `.astype(self.dtype)` makes both branches land on the identical value
+    (one f32->dtype rounding either way); any other dtype combination takes
+    the XLA f32 path, honoring the nn.LayerNorm output contract. Off-TPU /
+    unsupported shapes also take the XLA composition, written to compile to
+    the same graph nn.LayerNorm does.
     """
 
     epsilon: float
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -63,6 +69,8 @@ class _FusableLayerNorm(nn.Module):
 
         if (
             x.ndim == 3
+            and self.compute_dtype is not None
+            and x.dtype == jnp.dtype(self.compute_dtype)
             and knobs.get("pallas_ln")
             and _pln.available()
             and _pln.supported(x.shape[1], w)
@@ -76,10 +84,12 @@ class _FusableLayerNorm(nn.Module):
         return (xf - mu) * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
 
 
-def _layer_norm(name: str, eps: float):
+def _layer_norm(name: str, eps: float, dtype: Optional[Any] = None):
     # LayerNorm computes in f32 regardless of activation dtype (parity with
-    # the reference's fp32 LN behavior under AMP).
-    return _FusableLayerNorm(epsilon=eps, name=name)
+    # the reference's fp32 LN behavior under AMP). `dtype` is the owning
+    # tower's compute dtype: it gates the Pallas fused path to the
+    # cast-at-call-site contract (see _FusableLayerNorm).
+    return _FusableLayerNorm(epsilon=eps, compute_dtype=dtype, name=name)
 
 
 def _rel_pos_index(window: tuple[int, int]):
@@ -145,7 +155,7 @@ class EvaAttention(nn.Module):
                 self.q_bias = self.param("q_bias", nn.initializers.zeros, (dim,), jnp.float32)
                 self.v_bias = self.param("v_bias", nn.initializers.zeros, (dim,), jnp.float32)
         self.inner_attn_ln = (
-            _layer_norm("inner_attn_ln", c.ln_eps) if c.subln else None
+            _layer_norm("inner_attn_ln", c.ln_eps, self.dtype) if c.subln else None
         )
         self.proj = nn.Dense(dim, name="proj", **kw)
         if c.use_rel_pos_bias:
@@ -253,7 +263,7 @@ class SwiGLU(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
         self.w1 = nn.Dense(hidden, name="w1", **kw)
         self.w2 = nn.Dense(hidden, name="w2", **kw)
-        self.ffn_ln = _layer_norm("ffn_ln", c.ln_eps) if c.subln else None
+        self.ffn_ln = _layer_norm("ffn_ln", c.ln_eps, self.dtype) if c.subln else None
         self.w3 = nn.Dense(c.width, name="w3", **kw)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -274,7 +284,7 @@ class Mlp(nn.Module):
         hidden = int(c.width * c.mlp_ratio)
         kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
         self.fc1 = nn.Dense(hidden, name="fc1", **kw)
-        self.ffn_ln = _layer_norm("ffn_ln", c.ln_eps) if c.subln else None
+        self.ffn_ln = _layer_norm("ffn_ln", c.ln_eps, self.dtype) if c.subln else None
         self.fc2 = nn.Dense(c.width, name="fc2", **kw)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -291,9 +301,9 @@ class EvaBlock(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.norm1 = _layer_norm("norm1", c.ln_eps)
+        self.norm1 = _layer_norm("norm1", c.ln_eps, self.dtype)
         self.attn = EvaAttention(c, dtype=self.dtype, attn_impl=self.attn_impl, name="attn")
-        self.norm2 = _layer_norm("norm2", c.ln_eps)
+        self.norm2 = _layer_norm("norm2", c.ln_eps, self.dtype)
         mlp_cls = SwiGLU if c.naiveswiglu else Mlp
         self.mlp = mlp_cls(c, dtype=self.dtype, name="mlp")
         if c.ls_init_value is not None:
@@ -378,7 +388,7 @@ class EvaViT(nn.Module):
             block_cls(c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}")
             for i in range(c.layers)
         ]
-        self.norm = _layer_norm("norm", c.ln_eps)
+        self.norm = _layer_norm("norm", c.ln_eps, self.dtype)
         self.head = nn.Dense(
             self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32, name="head"
         )

@@ -21,9 +21,13 @@ pooling) and a bias-free linear projection:
 Both mirror timm's ViT block exactly: pre-norm, fused qkv (qkv_bias=False
 for these two variants), gelu MLP at 4x, no layer-scale. timm itself is not
 importable in this environment and no released checkpoints for these two
-names exist offline, so parity is structural (documented layout + protocol
-tests) rather than golden-pinned — the Swin and ConvNeXt members of the
-timm family carry the independent-math goldens for the adapter head.
+names exist offline. The GAP variant's math is nonetheless golden-pinned
+against transformers' torch `ViTModel` — an independent plain abs-pos ViT —
+with its final layernorm applied post-pool as fc_norm
+(tests/test_timm_towers.py::test_gap_vit_math_golden_vs_transformers_torch_vit);
+only the rel-pos variant remains structurally pinned (the Swin and ConvNeXt
+members of the timm family carry the other independent-math goldens for the
+adapter head).
 
 Dense-protocol note: as with Swin (see `swin.py` docstring), the
 reference's `TimmModel.encode_dense` requires a convnet `trunk.head.norm`

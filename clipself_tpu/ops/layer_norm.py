@@ -31,15 +31,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _block_n(n: int, cap: int) -> int:
+# Per-tile VMEM budget for one [block_n, width] f32 input tile (the backward
+# passes 2*width: it keeps an x AND a dy tile resident). Pallas
+# double-buffers the pipeline (in + out tiles live simultaneously), so the
+# true VMEM footprint is ~4x this; 3MB keeps the worst case (~12MB) inside
+# the 16MB default scoped budget at any supported width while preserving the
+# measured 384-row blocks at the w=768/1024 recipe shapes (advisor round-3
+# finding: the old fixed 1024-row cap made an f32 [1024, 2048] tile 8MB,
+# overflowing at compile time for widths beyond the measured 768/1024).
+_TILE_BYTES = 3 * 1024 * 1024
+
+
+def _row_cap(width: int, cap: int) -> int:
+    """Row-block cap bounded by the per-tile bytes budget (f32 tiles)."""
+    return min(cap, max(128, (_TILE_BYTES // (width * 4)) // 128 * 128))
+
+
+def _block_n(n: int, cap: int, width: int) -> int:
     """Largest Mosaic-legal row block for a sequence of n tokens, or 0.
 
     Small sequences take one full-row block (full-dim blocks are exempt
-    from alignment rules). Otherwise the block must be 128-aligned: the
-    row axis is the LANE dim of the (B, N) stats outputs, and non-full
-    lane blocks must be 128-multiples on hardware."""
+    from alignment rules) as long as it fits the bytes budget. Otherwise
+    the block must be 128-aligned: the row axis is the LANE dim of the
+    (B, N) stats outputs, and non-full lane blocks must be 128-multiples
+    on hardware."""
+    cap = _row_cap(width, cap)
     if n <= 512:
-        return n
+        return n if n * width * 4 <= _TILE_BYTES else 0
     for bn in range(cap - cap % 128, 0, -128):
         if n % bn == 0:
             return bn
@@ -48,14 +66,14 @@ def _block_n(n: int, cap: int) -> int:
 
 def supported(n: int, width: int) -> bool:
     """Whether the kernel has a legal block plan for [*, n, width] inputs."""
-    return width % 128 == 0 and width <= 2048 and _block_n(n, 1024) > 0
+    return width % 128 == 0 and width <= 2048 and _block_n(n, 1024, width) > 0
 
 
 def available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _fwd_kernel(eps, x_ref, g_ref, b_ref, y_ref, mu_ref, rs_ref):
+def _fwd_kernel(eps, x_ref, g_ref, b_ref, y_ref, mu_ref=None, rs_ref=None):
     x = x_ref[0].astype(jnp.float32)  # [bn, W]
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu, 0.0)
@@ -63,8 +81,9 @@ def _fwd_kernel(eps, x_ref, g_ref, b_ref, y_ref, mu_ref, rs_ref):
     # same association as flax._normalize: (x - mu) * (rstd * scale) + bias
     y = (x - mu) * (rstd * g_ref[...].astype(jnp.float32)) + b_ref[...].astype(jnp.float32)
     y_ref[0] = y.astype(y_ref.dtype)
-    mu_ref[0, 0] = mu[:, 0]
-    rs_ref[0, 0] = rstd[:, 0]
+    if mu_ref is not None:
+        mu_ref[0, 0] = mu[:, 0]
+        rs_ref[0, 0] = rstd[:, 0]
 
 
 def _bwd_kernel(x_ref, dy_ref, mu_ref, rs_ref, g_ref, dx_ref, dg_ref, db_ref):
@@ -92,35 +111,45 @@ def _bwd_kernel(x_ref, dy_ref, mu_ref, rs_ref, g_ref, dx_ref, dg_ref, db_ref):
 _INTERPRET = False
 
 
-def _fwd_call(x, scale, bias, eps):
+def _fwd_call(x, scale, bias, eps, stats=True):
+    """Forward pallas_call; stats=False omits the (mean, rstd) outputs
+    entirely — pallas outputs cannot be DCE'd individually, so the no-grad
+    primal path would otherwise pay 2*B*N f32 HBM writes per LN for stats
+    nobody reads (advisor round-3 finding)."""
     bsz, n, w = x.shape
-    bn = _block_n(n, 1024)
+    bn = _block_n(n, 1024, w)
     grid = (bsz, n // bn)
     xspec = pl.BlockSpec((1, bn, w), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((w,), lambda bi, ni: (0,), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(
         (1, 1, bn), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, eps),
         grid=grid,
         in_specs=[xspec, vspec, vspec],
-        out_specs=[xspec, sspec, sspec],
-        out_shape=[
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32),
-        ],
+        out_specs=[xspec] + ([sspec, sspec] if stats else []),
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)]
+        + (
+            [
+                jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32),
+                jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32),
+            ]
+            if stats
+            else []
+        ),
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
     )(x, scale, bias)
+    return out if stats else (out[0], None, None)
 
 
 def _bwd_call(x, dy, mu, rstd, scale):
     bsz, n, w = x.shape
-    bn = _block_n(n, 512)
+    # the backward keeps an x AND a dy tile resident -> halve the row cap
+    bn = _block_n(n, 512, 2 * w)
     grid = (bsz, n // bn)
     xspec = pl.BlockSpec((1, bn, w), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((w,), lambda bi, ni: (0,), memory_space=pltpu.VMEM)
@@ -153,7 +182,8 @@ def fused_layer_norm(x, scale, bias, eps):
     models/eva_vit.py:43-46); output in x.dtype — the cast every call site
     applies anyway. scale/bias are the f32 (W,) params of nn.LayerNorm.
     """
-    y, _, _ = _fwd_call(x, scale, bias, eps)
+    # primal path (no grad): stats-free kernel — no (mean, rstd) HBM writes
+    y, _, _ = _fwd_call(x, scale, bias, eps, stats=False)
     return y
 
 

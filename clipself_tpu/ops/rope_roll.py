@@ -41,9 +41,12 @@ def _block_n(n: int, cap: int = 1056) -> int:
     Blocked dims must be divisible by 8 (sublane) unless the block spans the
     whole dimension. Small sequences (teacher crops, e.g. 197) take one
     full-row block; otherwise the largest 8-aligned divisor <= cap. Returns
-    0 when neither exists (e.g. the unpadded 4097-token eval sequence:
-    4097 = 17 x 241 has no 8-aligned divisor) — the caller falls back to
-    the XLA composition."""
+    0 when neither exists — the caller falls back to the XLA composition.
+    (In practice every shipped TPU path is covered: the trunk pads long
+    sequences to a 128-multiple before any block runs — train AND eval both
+    see 4224, models/eva_vit.py::_pad_for_flash — and an unpadded length
+    like 4097 = 17 x 241, which has no 8-aligned divisor, only occurs on
+    the CPU/XLA test paths where the knob is off anyway.)"""
     if n <= 512:
         return n  # full-dim block: exempt from the divisibility rule
     for bn in range(cap - cap % 8, 0, -8):

@@ -143,3 +143,49 @@ def test_eva_tower_grad_knob_on_vs_off(monkeypatch):
     assert abs(outs[True][0] - outs[False][0]) <= 1e-4 * max(1.0, abs(outs[False][0]))
     np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(outs[True][2], outs[False][2], rtol=2e-4, atol=2e-5)
+
+
+def test_block_plan_respects_bytes_budget():
+    # advisor round-3: the block cap must come from a bytes budget, not a
+    # fixed row count — an f32 [1024, 2048] tile is 8MB and overflows the
+    # default scoped-VMEM budget once double-buffered
+    for n in (4224, 2048, 1024):
+        for w in (128, 768, 1024, 2048):
+            bn = pln._block_n(n, 1024, w)
+            if bn:
+                assert bn * w * 4 <= pln._TILE_BYTES, (n, w, bn)
+            bb = pln._block_n(n, 512, 2 * w)  # backward keeps x + dy tiles
+            if bb:
+                assert bb * 2 * w * 4 <= pln._TILE_BYTES, (n, w, bb)
+    # the measured recipe shapes keep their 384-row blocks (PERF.md A/Bs)
+    assert pln._block_n(4224, 1024, 768) == 384
+    assert pln._block_n(4224, 1024, 1024) == 384
+    assert pln._block_n(4224, 512, 2 * 768) == 384
+    assert pln._block_n(4224, 512, 2 * 1024) == 384
+
+
+def test_primal_is_stats_free():
+    # the no-grad path must not emit the (mean, rstd) outputs at all
+    # (pallas outputs cannot be DCE'd individually)
+    import jax
+
+    x, scale, bias = _make(256, 128, jnp.float32, seed=4)
+
+    def find_pallas(jaxpr, out):
+        for e in jaxpr.eqns:
+            if e.primitive.name == "pallas_call":
+                out.append(e)
+            for v in e.params.values():
+                if hasattr(v, "jaxpr"):
+                    find_pallas(v.jaxpr, out)
+        return out
+
+    jaxpr = jax.make_jaxpr(lambda x: pln.fused_layer_norm(x, scale, bias, EPS))(x)
+    [pcall] = find_pallas(jaxpr.jaxpr, [])
+    assert len(pcall.outvars) == 1  # y only — no stats
+    # ... while the grad path still gets its stats from the saving forward
+    jaxpr_g = jax.make_jaxpr(
+        jax.grad(lambda x: pln.fused_layer_norm(x, scale, bias, EPS).sum())
+    )(x)
+    calls = find_pallas(jaxpr_g.jaxpr, [])
+    assert max(len(e.outvars) for e in calls) == 3

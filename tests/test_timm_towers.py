@@ -3,12 +3,17 @@
 Swin math is golden-pinned against transformers' torch `SwinModel` — an
 implementation independent of ours — with weights imported through the
 timm-layout `torch_io` path (the layout of the MSR checkpoints the
-reference's `timm_model.py:29-60` adapter consumes). The two timm plain-ViT
-variants (`vit_relpos_medium_patch16_cls_224`, `vit_medium_patch16_gap_256`)
-have no independent oracle available offline (timm absent, no released
-checkpoints); they are pinned structurally: translation-invariant rel-pos
-bias, pooling semantics, dense-protocol consistency, and a torch_io
-export/import round-trip on the documented timm key layout.
+reference's `timm_model.py:29-60` adapter consumes). The GAP plain-ViT
+variant's math (patch-embed / abs-pos / encoder blocks / GAP+fc_norm) is
+golden-pinned against transformers' torch `ViTModel`
+(`test_gap_vit_math_golden_vs_transformers_torch_vit`; the shipped
+`vit_medium_patch16_gap_256` differs only in the cls-token / qkv_bias
+structural toggles). Only the rel-pos variant
+(`vit_relpos_medium_patch16_cls_224`) has no independent oracle available
+offline (timm absent, no released checkpoints); it is pinned structurally:
+translation-invariant rel-pos bias, pooling semantics, dense-protocol
+consistency, and a torch_io export/import round-trip on the documented
+timm key layout.
 """
 
 from __future__ import annotations
@@ -342,3 +347,108 @@ def test_full_size_timm_configs_build_and_forward(name, size):
     out = model.apply({"params": params}, x, method="encode_image")
     assert out.shape == (1, cfg.embed_dim)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_gap_vit_math_golden_vs_transformers_torch_vit():
+    """GAP-ViT oracle (VERDICT r3 next-round #8): transformers' torch
+    `ViTModel` is an independent plain abs-pos ViT implementation. With its
+    per-head q/k/v packed into our fused qkv and its final layernorm applied
+    AFTER global-average pooling (the timm use_fc_norm placement), it pins
+    the patch-embed / abs-pos / encoder-block / GAP+fc_norm math that
+    `timm_vit.py`'s `vit_medium_patch16_gap_256` runs. The shipped variant
+    differs only in not concatenating a class token (qkv_bias also differs;
+    both are structural toggles covered by the protocol tests), so the
+    no-independent-oracle disclosure narrows to the rel-pos variant."""
+    from transformers import ViTConfig, ViTModel
+
+    import clipself_tpu.models.timm_vit as tv
+
+    tv.TIMM_VIT_ARCHS.setdefault(
+        "vit_gap_oracle_test",
+        dict(
+            width=32, depth=2, heads=2, patch=8, cls_token=True, pool="avg",
+            rel_pos=False, rel_pos_dim=0, qkv_bias=True, fc_norm=True,
+            abs_pos=True,
+        ),
+    )
+    cfg = CLIPConfig(
+        embed_dim=24,
+        vision=VisionConfig(image_size=32, timm_model_name="vit_gap_oracle_test"),
+        text=TEXT_TINY,
+        name="tiny-vit-gap-oracle",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32, seed=7)
+
+    torch.manual_seed(0)
+    hf = ViTModel(
+        ViTConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=128, image_size=32, patch_size=8, num_channels=3,
+            qkv_bias=True, layer_norm_eps=1e-6, hidden_act="gelu",
+        ),
+        add_pooling_layer=False,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    p = jax.tree.map(np.asarray, dict(params))  # mutable copy
+    v = dict(p["visual"])
+    v["patch_embed_conv"] = {
+        # torch conv OIHW -> flax HWIO (bit-identical PatchEmbed layout)
+        "kernel": sd["embeddings.patch_embeddings.projection.weight"].transpose(2, 3, 1, 0),
+        "bias": sd["embeddings.patch_embeddings.projection.bias"],
+    }
+    v["cls_token"] = sd["embeddings.cls_token"]
+    v["pos_embed"] = sd["embeddings.position_embeddings"]
+    for j in range(2):
+        base = f"encoder.layer.{j}"
+        att = f"{base}.attention.attention"
+        v[f"block{j}"] = {
+            "norm1": {"scale": sd[f"{base}.layernorm_before.weight"],
+                      "bias": sd[f"{base}.layernorm_before.bias"]},
+            "attn_qkv": {
+                "kernel": np.concatenate(
+                    [sd[f"{att}.{n}.weight"] for n in ("query", "key", "value")], 0
+                ).T,
+                "bias": np.concatenate(
+                    [sd[f"{att}.{n}.bias"] for n in ("query", "key", "value")], 0
+                ),
+            },
+            "attn_proj": {"kernel": sd[f"{base}.attention.output.dense.weight"].T,
+                          "bias": sd[f"{base}.attention.output.dense.bias"]},
+            "norm2": {"scale": sd[f"{base}.layernorm_after.weight"],
+                      "bias": sd[f"{base}.layernorm_after.bias"]},
+            "mlp_fc1": {"kernel": sd[f"{base}.intermediate.dense.weight"].T,
+                        "bias": sd[f"{base}.intermediate.dense.bias"]},
+            "mlp_fc2": {"kernel": sd[f"{base}.output.dense.weight"].T,
+                        "bias": sd[f"{base}.output.dense.bias"]},
+        }
+    # HF's final encoder layernorm plays the fc_norm role (post-pool LN)
+    v["fc_norm"] = {"scale": sd["layernorm.weight"], "bias": sd["layernorm.bias"]}
+    proj = np.asarray(v["proj"]["kernel"])  # keep our random projection
+    p["visual"] = v
+
+    rng = np.random.default_rng(52)
+    img = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        hs = hf(
+            torch.from_numpy(img).permute(0, 3, 1, 2), output_hidden_states=True
+        ).hidden_states[-1].numpy()  # post-encoder, PRE final-LN
+
+    def np_ln(x):
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-6) * sd["layernorm.weight"] + sd["layernorm.bias"]
+
+    # pooled path: GAP over patch tokens -> fc_norm -> projection
+    want_pooled = np_ln(hs[:, 1:].mean(1)) @ proj
+    got_pooled = np.asarray(
+        model.apply({"params": p}, jnp.asarray(img), method="encode_image")
+    )
+    np.testing.assert_allclose(got_pooled, want_pooled, atol=2e-4, rtol=1e-3)
+
+    # dense path: per-position fc_norm -> projection over the same tokens
+    want_dense = (np_ln(hs[:, 1:]) @ proj).reshape(2, 4, 4, 24)
+    got_dense = np.asarray(
+        model.apply({"params": p}, jnp.asarray(img), False, True, method="encode_dense")
+    )
+    np.testing.assert_allclose(got_dense, want_dense, atol=2e-4, rtol=1e-3)
