@@ -1,13 +1,21 @@
 """Distillation throughput benchmark on the real chip.
 
-Measures the full jitted CLIPSelf train step — frozen EVA02-B/16 teacher
-encoding 20 crops/image @224 + trainable student dense encode @1024 (4097
-tokens) + RoI-align + cosine loss + AdamW — and reports images/sec/chip.
+Default mode measures the full jitted CLIPSelf train step — frozen
+EVA02-B/16 teacher encoding 20 crops/image @224 + trainable student dense
+encode @1024 (4097 tokens) + RoI-align + cosine loss + AdamW — reports
+images/sec/chip for it AND the L/14-336 recipe, and appends a `recipes`
+dict with one number per non-default recipe (multiscale / region_clip /
+remat / eval / detector; BENCH_RECIPES=0 skips).
+
+Other modes (one env var each): BENCH_LOADER (native C++ input pipeline,
+host only), BENCH_EVAL (zero-shot panoptic evaluator), BENCH_DETECTOR
+(F-ViT ov_coco at recipe shapes: train + predict), BENCH_E2E (sustained
+loader -> prefetch -> step loop), BENCH_CHIP_PARITY (drift report).
 
 Baseline anchor: the driver target of 2,000 images/sec on a v5e-8 slice
 (BASELINE.md), i.e. 250 images/sec/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -82,6 +90,256 @@ def bench_loader():
         "value": round(ips, 2),
         "unit": "images/sec/host",
         "vs_baseline": round(ips / 110.0, 4),  # 110 img/s/host requirement
+    }
+    print(json.dumps(result))
+    return result
+
+
+def bench_detector():
+    """BENCH_DETECTOR=1: F-ViT detector at RECIPE shapes on chip.
+
+    Reference recipe (`F-ViT/configs/ov_coco/..._original.py:195-226`):
+    640x640 inputs, 65-class OV-COCO vocabulary, global batch 64 over 8
+    devices -> per-chip batch 8, frozen EVA02-B/16 backbone, AdamW. This mode
+    builds the shipped `ov_coco_vitb16` preset, runs N jitted train steps and
+    a jitted predict (inference) pass on synthetic fixed-shape batches, and
+    reports img/s/chip for both. BENCH_PROFILE_DIR captures a device trace of
+    the timed train loop (summarize with tools.trace_summary)."""
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILE_CACHE", "/root/.cache/jax_compilation")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from clipself_tpu.detector.classes import base_novel_mask, class_weights, coco_split, lvis_split
+    from clipself_tpu.detector.config import PRESETS
+    from clipself_tpu.detector.data import SyntheticDetectionData
+    from clipself_tpu.detector.evaluate import make_predict_fn
+    from clipself_tpu.detector.fvit import FViTDetector
+    from clipself_tpu.detector.train import (
+        DetTrainState,
+        build_det_optimizer,
+        make_det_train_step,
+    )
+    from clipself_tpu.models.factory import create_model
+
+    preset = os.environ.get("BENCH_DET_PRESET", "ov_coco_vitb16")
+    cfg = PRESETS[preset]
+    b = int(os.environ.get("BENCH_DET_BATCH", "8"))  # reference bs 8x8
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    dataset = "lvis" if "lvis" in preset else "coco"
+    split = coco_split() if dataset == "coco" else lvis_split()
+    k = cfg.num_classes
+    assert len(split["all"]) == k
+
+    clip_model, clip_params = create_model(cfg.clip_model, dtype=jnp.bfloat16)
+    det = FViTDetector(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    ce = rng.normal(size=(k + 1, cfg.embed_dim)).astype(np.float32)
+    ce /= np.linalg.norm(ce, axis=-1, keepdims=True)
+    class_embed = jnp.asarray(ce)
+    cw = jnp.asarray(class_weights(dataset, cfg.bg_weight))
+
+    gh = cfg.image_size // cfg.patch_size
+    init_taps = [jnp.zeros((1, gh, gh, cfg.backbone_width), jnp.bfloat16)
+                 for _ in cfg.out_indices]
+    init_rois = jnp.asarray([[[4.0, 4.0, 32.0, 32.0]]])
+    det_params = jax.jit(
+        lambda key: det.init(key, init_taps, init_rois, class_embed)["params"]
+    )(jax.random.PRNGKey(0))
+    tx = build_det_optimizer()
+    state = DetTrainState.create(det_params, tx)
+    step = make_det_train_step(det, clip_model, tx, cfg, class_embed, cw, mesh=None)
+
+    data = SyntheticDetectionData(
+        k, image_size=cfg.image_size, max_gt=cfg.max_gt, with_mask=cfg.with_mask
+    )
+    # pre-staged distinct batches (tunnel memoization + transfer-path guard,
+    # same rationale as the distill bench)
+    batches = [
+        {k2: jax.device_put(jnp.asarray(v)) for k2, v in data.batch(b).items()
+         if k2 not in ("scale", "image_id")}
+        for _ in range(4)
+    ]
+    key = jax.random.PRNGKey(0)
+    state, metrics = step(state, clip_params, batches[0], key)  # warmup/compile
+    print("warmup det loss:", float(metrics["loss"]), file=sys.stderr)
+    state, metrics = step(state, clip_params, batches[1], key)
+    jax.block_until_ready(metrics["loss"])
+
+    prof_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, clip_params, batches[i % len(batches)], key)
+    final_loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    if prof_dir:
+        jax.profiler.stop_trace()
+        print(f"trace written to {prof_dir}", file=sys.stderr)
+    assert np.isfinite(final_loss), f"non-finite det loss {final_loss}"
+    train_ips = b * steps / dt
+
+    # inference path: jitted predict (frozen trunk + dense VLM map + heads +
+    # NMS + score fusion)
+    bm = jnp.asarray(base_novel_mask(split=split))
+    predict = make_predict_fn(det, clip_model, cfg, class_embed, bm)
+    vhw = jnp.asarray(
+        np.full((b, 2), float(cfg.image_size), np.float32)
+    )
+    out = predict(state.params, clip_params, batches[0]["images"], vhw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = predict(state.params, clip_params, batches[i % len(batches)]["images"], vhw)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    pred_ips = b * steps / dt
+
+    result = {
+        "metric": (
+            f"images/sec/chip, F-ViT {preset} train step "
+            f"({cfg.image_size}px, {k} classes, batch {b}, frozen {cfg.clip_model})"
+        ),
+        "value": round(train_ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(train_ips / BASELINE_PER_CHIP, 4),
+        "predict_img_s": round(pred_ips, 2),
+    }
+    print(json.dumps(result))
+    return result
+
+
+def bench_e2e():
+    """BENCH_E2E=1: whole-loop sustained throughput — native C++ loader
+    (synthetic JPEG corpus) -> double-buffered batches -> device prefetch ->
+    jitted distill step. One number for the sustained img/s plus the two
+    component rates, so the host/device crossover is explicit (on this 1-vCPU
+    dev box the loop is host-bound by construction; a v5e-8 host has >100
+    cores — see PERF.md 'Native input pipeline')."""
+    import json as _json
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    cache_dir = os.environ.get("JAX_COMPILE_CACHE", "/root/.cache/jax_compilation")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from clipself_tpu.core.config import get_model_config
+    from clipself_tpu.data.datasets import GridDistillDataset
+    from clipself_tpu.data.loader import NativeDistillLoader, device_prefetch
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.train.methods import clipself_loss
+    from clipself_tpu.train.optim import build_optimizer, make_schedule, trainable_labels
+    from clipself_tpu.train.step import TrainState, make_train_step
+
+    b = int(os.environ.get("BENCH_BATCH", "2"))
+    det, crop = 1024, 224
+    n_imgs = int(os.environ.get("BENCH_E2E_IMAGES", "48"))
+    n_batches = int(os.environ.get("BENCH_E2E_BATCHES", "16"))
+    threads = int(os.environ.get("BENCH_LOADER_THREADS", str(os.cpu_count() or 8)))
+    model_name = os.environ.get("BENCH_MODEL", "EVA02-CLIP-B-16")
+
+    with tempfile.TemporaryDirectory() as d:
+        # synthetic COCO-style corpus: JPEG sources + instances list
+        rng = np.random.default_rng(0)
+        images = []
+        for i in range(n_imgs):
+            arr = rng.integers(0, 255, size=(768, 1024, 3), dtype=np.uint8)
+            name = f"{i}.jpg"
+            Image.fromarray(arr).save(os.path.join(d, name), quality=90)
+            images.append({"id": i, "file_name": name, "width": 1024, "height": 768})
+        ann = {"images": images, "annotations": [], "categories": []}
+        ann_path = os.path.join(d, "instances.json")
+        with open(ann_path, "w") as f:
+            _json.dump(ann, f)
+
+        ds = GridDistillDataset(ann_path, d, det_size=det, crop_size=crop, max_anns=20)
+        loader = NativeDistillLoader(ds, b, shuffle=True, num_threads=threads)
+
+        cfg = get_model_config(model_name)
+        model, params = create_model(cfg, dtype=jnp.bfloat16)
+        teacher = jax.tree.map(jnp.copy, params)
+        sched = make_schedule("cosine", 1e-5, warmup=100, total_steps=10000)
+        tx = build_optimizer(
+            params, sched, wd=0.1,
+            unlocked_groups=cfg.vision.layers, num_layers=cfg.vision.layers,
+        )
+        step = make_train_step(
+            model, tx, clipself_loss, mesh=None,
+            trainable=trainable_labels(
+                params, unlocked_groups=cfg.vision.layers,
+                num_layers=cfg.vision.layers,
+            ),
+        )
+        state = TrainState.create(params, tx)
+        key = jax.random.PRNGKey(0)
+
+        it = device_prefetch(iter(loader), mesh=None, size=2)
+        # warmup: compile on the first prefetched batch
+        batch = next(it)
+        state, metrics = step(state, teacher, batch, key)
+        print("warmup loss:", float(metrics["loss"]), file=sys.stderr)
+
+        # component rate 1: device-only (re-stepping the staged batch)
+        t0 = time.perf_counter()
+        for _ in range(6):
+            state, metrics = step(state, teacher, batch, key)
+        _ = float(metrics["loss"])
+        dev_ips = b * 6 / (time.perf_counter() - t0)
+
+        # sustained end-to-end: loader -> prefetch -> step
+        t0 = time.perf_counter()
+        n = 0
+        for batch in it:
+            state, metrics = step(state, teacher, batch, key)
+            n += 1
+            if n >= n_batches:
+                break
+        _ = float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        e2e_ips = b * n / dt
+
+        # component rate 2: loader-only (a second loader instance with its
+        # own thread pools — the first one's generator still owns pending
+        # double-buffer submissions)
+        loader2 = NativeDistillLoader(ds, b, shuffle=True, num_threads=threads)
+        it2 = iter(loader2)
+        next(it2)  # spin up the double buffer
+        t0 = time.perf_counter()
+        for i, _batch in enumerate(it2):
+            if i + 1 >= n_batches:
+                break
+        loader_ips = b * (n_batches - 1) / (time.perf_counter() - t0)
+
+    # threads needed for the host to keep up with the device step
+    per_thread = loader_ips / max(threads, 1)
+    crossover = dev_ips / per_thread if per_thread > 0 else float("inf")
+    result = {
+        "metric": (
+            f"images/sec sustained, end-to-end distill loop "
+            f"(native loader {threads} threads -> device prefetch -> jitted "
+            f"step, {model_name} {det}px)"
+        ),
+        "value": round(e2e_ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(e2e_ips / BASELINE_PER_CHIP, 4),
+        "device_only_img_s": round(dev_ips, 2),
+        "loader_only_img_s": round(loader_ips, 2),
+        "crossover_threads": round(crossover, 1),
     }
     print(json.dumps(result))
     return result
@@ -182,11 +440,63 @@ def bench_eval():
     return result
 
 
+def _run_recipe_subprocess(env_overrides: dict, timeout: int = 1200):
+    """Run one bench recipe in a fresh subprocess (clean device state per
+    recipe) and return its parsed JSON line, or None on failure."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update({k: str(v) for k, v in env_overrides.items()})
+    env.setdefault("BENCH_SECOND_TOWER", "0")
+    env.setdefault("BENCH_RECIPES", "0")  # no recursion
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"recipe subprocess failed: {e}", file=sys.stderr)
+    return None
+
+
+def bench_recipes() -> dict:
+    """Every non-default recipe as one number each, for BENCH_r*.json
+    regression tracking (VERDICT r3 #6). Each runs in its own subprocess
+    (model build + cached compile + a short timed loop)."""
+    recipes = {}
+    specs = {
+        "multiscale": {"BENCH_MULTISCALE": "1"},
+        "region_clip": {"BENCH_METHOD": "region_clip"},
+        "remat": {"BENCH_REMAT": "1"},
+        "eval": {"BENCH_EVAL": "1"},
+        "detector": {"BENCH_DETECTOR": "1"},
+    }
+    for name, env in specs.items():
+        r = _run_recipe_subprocess(env)
+        if r is not None:
+            recipes[name] = r["value"]
+            for extra in ("predict_img_s", "eval_5k_minutes_per_chip"):
+                if extra in r:
+                    recipes[f"{name}_{extra}"] = r[extra]
+        else:
+            recipes[name] = None
+        print(f"recipe {name}: {recipes.get(name)}", file=sys.stderr)
+    return recipes
+
+
 def main():
     if os.environ.get("BENCH_LOADER", "0") == "1":
         return bench_loader()
     if os.environ.get("BENCH_EVAL", "0") == "1":
         return bench_eval()
+    if os.environ.get("BENCH_DETECTOR", "0") == "1":
+        return bench_detector()
+    if os.environ.get("BENCH_E2E", "0") == "1":
+        return bench_e2e()
     if os.environ.get("BENCH_CHIP_PARITY", "0") == "1":
         # on-chip bf16+flash drift vs reference CPU goldens -> PARITY_CHIP.md
         from clipself_tpu.tools.chip_parity import main as parity_main
@@ -212,6 +522,12 @@ def main():
         finally:
             for k in ("BENCH_MODEL", "BENCH_IMAGE_SIZE", "BENCH_CROP_SIZE"):
                 del os.environ[k]
+    # non-default recipes (multiscale / region_clip / remat / eval /
+    # detector), one subprocess each. On by default for the driver's
+    # end-of-round record; A/B runs that pin BENCH_MODEL skip it, and
+    # BENCH_RECIPES=0 opts out explicitly.
+    if second and os.environ.get("BENCH_RECIPES", "1") == "1":
+        result["recipes"] = bench_recipes()
     print(json.dumps(result))
     return result
 

@@ -119,6 +119,16 @@ _KNOBS: Dict[str, Knob] = {
             "trainers set 768 under remat).",
         ),
         Knob(
+            "xla_attn_half_logits", True, bool, False,
+            "Store XLA-path attention logits/probs in the input half dtype "
+            "instead of f32 (softmax math stays f32-stable in-register). "
+            "Halves the dominant HBM traffic of the L/14 teacher's 577-token "
+            "crops ([40,16,577,577] per layer); matches the reference "
+            "teacher's fp16-autocast numerics class. Only engages for "
+            "half-precision inputs with no additive mask; 0 restores f32 "
+            "logits.",
+        ),
+        Knob(
             "log_grad_norm", False, bool, False,
             "Emit a per-step grad_norm metric (costs real step time; the "
             "reference only computes it under --grad-clip-norm).",

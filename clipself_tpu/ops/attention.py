@@ -40,7 +40,32 @@ def _xla_attention(
     scale: float,
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Reference XLA attention. q,k,v: [B, N, H, D]; mask: additive [..., N, N]."""
+    """Reference XLA attention. q,k,v: [B, N, H, D]; mask: additive [..., N, N].
+
+    Half-logits path (`xla_attn_half_logits`, default on): when the inputs
+    are half-precision and there is no additive mask, the [B, H, N, N]
+    logits tensor is STORED in the input dtype instead of f32 — the L/14
+    teacher's 20x336px crops materialize [40, 16, 577, 577] per layer
+    (850MB in f32), the dominant HBM traffic of that recipe's teacher. The
+    softmax stays f32-stable (max-subtract, exp and divide computed in f32
+    in-register inside the fusions; only the bf16 logits and bf16 probs
+    touch HBM). This matches the reference teacher's numerics class: it
+    runs under fp16 autocast, which stores fp16 logits and fp16 probs
+    (torch softmax upcasts to f32 internally the same way).
+    """
+    if (
+        mask is None
+        and q.dtype in (jnp.bfloat16, jnp.float16)
+        and bool(knobs.get("xla_attn_half_logits"))
+    ):
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=q.dtype
+        ) * jnp.asarray(scale, q.dtype)
+        m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.exp((logits - m).astype(jnp.float32))
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        probs = (p / s).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale

@@ -157,6 +157,15 @@ def roi_align_nxn(
     oh, ow = output_size
     max_sy = max(-(-h // oh), 1) + 1
     max_sx = max(-(-w // ow), 1) + 1
+    # Separable two-stage contraction. The y-stage intermediate is the HBM
+    # hot spot at detector scale ([512 rois, 7, 160, 256] = 587MB/image in
+    # f32 on the stride-4 FPN level — the round-4 trace put 42 ms/step
+    # here); when the feature map is half-precision, STORE the intermediate
+    # in that dtype too (accumulation stays f32 via preferred_element_type).
+    # The reference detector trains fp16 (mmdet fp16 loss-scale 512), so
+    # half-precision pooling matches its numerics class; full-f32 maps (CPU
+    # goldens vs the torchvision oracles) keep the all-f32 path.
+    inter_dtype = feats.dtype if feats.dtype == jnp.bfloat16 else jnp.float32
 
     def per_image(bx, fm):
         x0 = bx[:, 0].astype(jnp.float32) - 0.5
@@ -166,9 +175,14 @@ def roi_align_nxn(
         wy, ny = _bin_axis_weights(y0, y1 - y0, h, oh, max_sy)  # [M, oh, H]
         wx, nx = _bin_axis_weights(x0, x1 - x0, w, ow, max_sx)  # [M, ow, W]
         count = jnp.maximum(ny * nx, 1.0)  # [M]
+        t1 = jnp.einsum(
+            "myh,hwc->mywc",
+            wy.astype(inter_dtype), fm.astype(inter_dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(inter_dtype)
         out = jnp.einsum(
-            "myh,mxw,hwc->myxc",
-            wy, wx, fm.astype(jnp.float32),
+            "mxw,mywc->myxc",
+            wx.astype(inter_dtype), t1,
             preferred_element_type=jnp.float32,
         )
         return out / count[:, None, None, None]

@@ -22,6 +22,12 @@ configs every reference recipe trains):
      b*h=24 -> 2304, b*h=32 -> 768) and runs one full bf16 distill train
      step, asserting every gradient/update is finite
 
+Round 4 extension: the Swin-B and ConvNeXt-B timm-family towers get the
+same treatment via `run_timm_model` (goldens from transformers' independent
+torch SwinModel/ConvNextModel; no flash/grad section — no flash kernels run
+at their shapes). Select with
+PARITY_MODELS="swin_base_patch4_window7_224:224,convnext_base:224".
+
 Writes the drift table to PARITY_CHIP.md and prints one JSON line.
 Usage:  python -m clipself_tpu.tools.chip_parity   (on the TPU host)
         BENCH_CHIP_PARITY=1 python bench.py  (same, via the bench entry)
@@ -95,6 +101,156 @@ def _stats(got: np.ndarray, want: np.ndarray) -> dict:
 
 
 N_BOXES = 8
+
+# full-size timm-family towers parity-checked against transformers' torch
+# implementations (SwinModel / ConvNextModel — independent math, same
+# weights via the timm-layout import); run with
+# PARITY_MODELS="swin_base_patch4_window7_224:224,convnext_base:224"
+TIMM_PARITY_MODELS = {"swin_base_patch4_window7_224", "convnext_base"}
+
+
+def _cpu_roi_golden(dense_map: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """CPU f32 golden for extract_roi_features v2: L2-normalize the torch
+    dense map, 1x1-align with our weight construction (itself pinned to the
+    analytic torchvision oracles in tests/test_roi_align.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clipself_tpu.ops.roi_align import denormalize_boxes, roi_align_1x1
+
+    d = dense_map / (np.linalg.norm(dense_map, axis=-1, keepdims=True) + 1e-12)
+    _, gh, gw, _ = d.shape
+    with jax.default_device(jax.devices("cpu")[0]):
+        out = roi_align_1x1(
+            jnp.asarray(d, jnp.float32),
+            denormalize_boxes(jnp.asarray(boxes, jnp.float32), gh, gw),
+        )
+    return np.asarray(out)
+
+
+def run_timm_model(model_name: str, img_size: int, on_tpu: bool) -> tuple[dict, None]:
+    """Golden-vs-chip drift for the Swin / ConvNeXt timm-family towers.
+
+    Goldens are torch CPU f32 from the INDEPENDENT transformers
+    implementations (SwinModel / ConvNextModel), composed with the adapter
+    head the same way the golden test suite does
+    (tests/test_timm_towers.py, tests/test_reference_goldens.py). RoI
+    goldens compose the torch dense map with our CPU-f32 1x1 weights (the
+    weight math is separately pinned to analytic torchvision oracles)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from clipself_tpu.core.config import get_model_config
+    from clipself_tpu.models.factory import create_model
+    from clipself_tpu.models.torch_io import import_state_dict
+
+    import test_reference_goldens as g
+    import test_timm_towers as tt
+
+    cfg = get_model_config(model_name)
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, img_size, img_size, 3)).astype(np.float32)
+    lo = rng.uniform(0, 0.6, size=(1, N_BOXES, 2)).astype(np.float32)
+    hi = np.clip(lo + rng.uniform(0.1, 0.4, size=(1, N_BOXES, 2)), 0, 1).astype(np.float32)
+    boxes = np.concatenate([lo, hi], -1).astype(np.float32)
+
+    if model_name.startswith("swin"):
+        from transformers import SwinConfig, SwinModel
+
+        torch.manual_seed(0)
+        hf = SwinModel(
+            SwinConfig(
+                image_size=224, patch_size=4, embed_dim=128,
+                depths=[2, 2, 18, 2], num_heads=[4, 8, 16, 32], window_size=7,
+                drop_path_rate=0.0, hidden_dropout_prob=0.0,
+                attention_probs_dropout_prob=0.0,
+            )
+        ).eval()
+        sd = tt._hf_swin_to_timm_keys(hf.state_dict())
+        proj = (rng.normal(size=(cfg.embed_dim, 1024)) * 0.02).astype(np.float32)
+        sd["visual.head.proj.weight"] = proj
+        with torch.no_grad():
+            lhs = hf(
+                torch.from_numpy(img).permute(0, 3, 1, 2)
+            ).last_hidden_state.numpy()  # [1, 49, 1024] final normed map
+        want_img = lhs.mean(1) @ proj.T
+        gh = gw = img_size // 32
+        want_dense = (lhs @ proj.T).reshape(1, gh, gw, -1)
+    else:  # convnext
+        from transformers import ConvNextConfig, ConvNextModel
+
+        depths, dims = (3, 3, 27, 3), (128, 256, 512, 1024)
+        torch.manual_seed(0)
+        hf = ConvNextModel(
+            ConvNextConfig(
+                depths=list(depths), hidden_sizes=list(dims), num_channels=3,
+                layer_norm_eps=1e-6, layer_scale_init_value=0.1,
+            )
+        ).eval()
+        with torch.no_grad():  # constant gammas would mask errors
+            for name, prm in hf.named_parameters():
+                if "layer_scale_parameter" in name:
+                    prm.uniform_(0.05, 0.4)
+        g._install_stubs()
+        g._install_open_clip_abs_stub()
+        stub = g._install_timm_convnext_stub(hf, dims[-1])
+        tm = g._ref_module("ref_oc_parity", g.REF, "timm_model")
+        torch.manual_seed(8)
+        ref = tm.TimmModel(
+            "convnext_base", embed_dim=cfg.embed_dim, image_size=img_size,
+            pool="", proj="linear", drop=0.0, pretrained=False,
+        ).eval()
+        with torch.no_grad():
+            stub.head.norm.weight.uniform_(0.5, 1.5)
+            stub.head.norm.bias.normal_(0.0, 0.2)
+        sd = g._hf_to_timm_keys(hf.state_dict())
+        sd["visual.trunk.head.norm.weight"] = stub.head.norm.weight.detach().numpy()
+        sd["visual.trunk.head.norm.bias"] = stub.head.norm.bias.detach().numpy()
+        for k, v in ref.head.state_dict().items():
+            sd[f"visual.head.{k}"] = v.detach().numpy()
+        with torch.no_grad():
+            t = torch.from_numpy(img).permute(0, 3, 1, 2)
+            want_img = ref(t).numpy()
+            want_dense = np.moveaxis(ref.encode_dense(t).numpy(), 1, -1)
+
+    want_rois = _cpu_roi_golden(want_dense, boxes)
+    results = {}
+
+    def run_paths(dtype, tag):
+        model, params = create_model(cfg, dtype=dtype)
+        params = import_state_dict(sd, dict(params), cfg, strict=False)
+        if dtype == jnp.bfloat16:
+            params = jax.tree.map(jnp.asarray, params)
+        ji, jb = jnp.asarray(img, dtype), jnp.asarray(boxes)
+        pooled = jax.jit(
+            lambda p, i: model.apply({"params": p}, i, method="encode_image")
+        )(params, ji)
+        dense = jax.jit(
+            lambda p, i: model.apply(
+                {"params": p}, i, False, True, method="encode_dense"
+            )
+        )(params, ji)
+        rois = jax.jit(
+            lambda p, i, b: model.apply(
+                {"params": p}, i, b, False, "v2", method="encode_pseudo_boxes"
+            )
+        )(params, ji, jb)
+        results[f"{tag}: encode_image {img_size}"] = _stats(pooled, want_img)
+        results[f"{tag}: encode_dense {img_size}"] = _stats(
+            np.asarray(dense).reshape(-1, want_dense.shape[-1]),
+            want_dense.reshape(-1, want_dense.shape[-1]),
+        )
+        results[f"{tag}: extract_roi_features v2 {img_size}"] = _stats(
+            np.asarray(rois).reshape(-1, want_rois.shape[-1]),
+            want_rois.reshape(-1, want_rois.shape[-1]),
+        )
+
+    if on_tpu:
+        run_paths(jnp.bfloat16, "chip bf16")
+    run_paths(jnp.float32, f"{jax.default_backend()} f32 xla")
+    return results, None
 
 
 def run_model(model_name: str, img_large: int, on_tpu: bool) -> tuple[dict, dict]:
@@ -352,12 +508,17 @@ def main():
         f"Generated by `tools/chip_parity.py` on backend "
         f"`{jax.default_backend()}` ({time.strftime('%Y-%m-%d')}).",
         "",
-        "Golden source: the ACTUAL reference EVA towers "
-        "(`eva_vit_model.py:588-686`), seeded random init, torch CPU f32. "
-        "`chip bf16+flash` is the SHIPPED path: bf16 activations, Pallas "
-        "flash forward + custom fused one-pass backward at the 4097-token "
-        "student sequence. The f32/XLA row isolates implementation drift "
-        "from precision drift.",
+        "Golden sources: the ACTUAL reference EVA towers "
+        "(`eva_vit_model.py:588-686`) for the EVA sections, and "
+        "transformers' independent torch implementations (SwinModel / "
+        "ConvNextModel, timm-layout weight import) for the Swin/ConvNeXt "
+        "sections — seeded random init, torch CPU f32 in both cases. "
+        "`chip bf16[+flash]` is the SHIPPED path: bf16 activations (flash "
+        "kernels engage on the EVA 4097-token student sequence; the timm "
+        "towers run windowed/conv math). RoI goldens for the timm towers "
+        "compose the torch dense map with our CPU-f32 1x1 weights "
+        "(separately pinned to analytic torchvision oracles). The f32/XLA "
+        "row isolates implementation drift from precision drift.",
     ]
     # a PARITY_MODELS-restricted run must not clobber other models' measured
     # sections: carry over every existing section this run doesn't regenerate
@@ -368,7 +529,10 @@ def main():
     per_model = {}
     lines = list(header)
     for name, size in models:
-        per_model[name] = run_model(name, size, on_tpu)
+        if name in TIMM_PARITY_MODELS:
+            per_model[name] = run_timm_model(name, size, on_tpu)
+        else:
+            per_model[name] = run_model(name, size, on_tpu)
         results, grad_stats = per_model[name]
         lines += [
             "",
