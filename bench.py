@@ -301,10 +301,20 @@ def bench_e2e():
         _ = float(metrics["loss"])
         dev_ips = b * 6 / (time.perf_counter() - t0)
 
-        # sustained end-to-end: loader -> prefetch -> step
+        # sustained end-to-end: loader -> prefetch -> step. The generator's
+        # next() covers loader wait + device_put (the host side of the
+        # pipeline); timing it separately attributes the host/device split
+        # of the sustained number.
         t0 = time.perf_counter()
         n = 0
-        for batch in it:
+        host_s = 0.0
+        while True:
+            th = time.perf_counter()
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            host_s += time.perf_counter() - th
             state, metrics = step(state, teacher, batch, key)
             n += 1
             if n >= n_batches:
@@ -312,6 +322,7 @@ def bench_e2e():
         _ = float(metrics["loss"])
         dt = time.perf_counter() - t0
         e2e_ips = b * n / dt
+        host_ms = host_s / max(n, 1) * 1000.0
 
         # component rate 2: loader-only (a second loader instance with its
         # own thread pools — the first one's generator still owns pending
@@ -339,6 +350,7 @@ def bench_e2e():
         "vs_baseline": round(e2e_ips / BASELINE_PER_CHIP, 4),
         "device_only_img_s": round(dev_ips, 2),
         "loader_only_img_s": round(loader_ips, 2),
+        "host_ms_per_batch": round(host_ms, 1),
         "crossover_threads": round(crossover, 1),
     }
     print(json.dumps(result))
@@ -592,10 +604,24 @@ def _bench_distill():
         loss_fn = clipself_loss
 
     sched = make_schedule("cosine", 1e-5, warmup=100, total_steps=10000)
-    tx = build_optimizer(
-        params, sched, wd=0.1,
-        unlocked_groups=cfg.vision.layers, num_layers=cfg.vision.layers,
-    )
+    # BENCH_OPT=sgd: diagnostic A/B that swaps AdamW for plain SGD to bound
+    # the optimizer-update share of the step (adam moves ~28 B/param of f32
+    # moment+param traffic vs sgd's 12 B/param; the delta isolates it).
+    if os.environ.get("BENCH_OPT") == "sgd":
+        import optax
+
+        from clipself_tpu.train.optim import trainable_labels as _tl
+
+        tx = optax.multi_transform(
+            {"train": optax.sgd(sched), "freeze": optax.set_to_zero()},
+            _tl(params, unlocked_groups=cfg.vision.layers,
+                num_layers=cfg.vision.layers),
+        )
+    else:
+        tx = build_optimizer(
+            params, sched, wd=0.1,
+            unlocked_groups=cfg.vision.layers, num_layers=cfg.vision.layers,
+        )
     from clipself_tpu.train.optim import trainable_labels
 
     step = make_train_step(

@@ -206,7 +206,7 @@ def apply_rope_flat(
     if (
         knobs.get("pallas_rope")
         and _pallas_rope_available()
-        and rope_roll.supported(x.shape[1])
+        and rope_roll.supported(x.shape[1], w=w, itemsize=x.dtype.itemsize)
     ):
         # fuse the two jnp.roll materializations into one VMEM pass; the
         # backward reuses the kernel with trace-time-rolled tables (same

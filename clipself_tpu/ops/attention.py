@@ -125,7 +125,16 @@ def flash_pad_target(n: int) -> int:
     minb = int(knobs.get("flash_min_block"))
     hi = n + (-n) % 512
     npad = n + (-n) % m
-    while npad < hi and flash_block_size(npad, cap=max(512, minb)) < minb:
+    while npad < hi:
+        # short sequences (the 577-token L/14 teacher crops) may take the
+        # candidate itself as one full block — 577 pads to 640 (one 640-wide
+        # block, +23% attention FLOPs) instead of 768 (+77%), which is what
+        # made the round-3 flash-teacher A/B lose; long sequences keep the
+        # conservative cap so the trunk pad targets are unchanged (4097 ->
+        # 4224 with 384/1408 blocks)
+        cap = npad if n < 1024 else max(512, minb)
+        if flash_block_size(npad, cap=cap) >= minb:
+            break
         npad += m
     return npad
 

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _block_n(n: int, cap: int = 1056) -> int:
+def _block_n(n: int, cap: int = 1056, w: int = 1024, itemsize: int = 2) -> int:
     """Pick a Mosaic-legal sequence block for rows of n tokens, or 0.
 
     Blocked dims must be divisible by 8 (sublane) unless the block spans the
@@ -46,18 +46,28 @@ def _block_n(n: int, cap: int = 1056) -> int:
     sequences to a 128-multiple before any block runs — train AND eval both
     see 4224, models/eva_vit.py::_pad_for_flash — and an unpadded length
     like 4097 = 17 x 241, which has no 8-aligned divisor, only occurs on
-    the CPU/XLA test paths where the knob is off anyway.)"""
+    the CPU/XLA test paths where the knob is off anyway.)
+
+    Full-row blocks are also taken above 512 rows when they fit a VMEM byte
+    budget — the L/14 teacher's 577-token crops (577 is prime: no aligned
+    divisor exists) otherwise fall back to the XLA composition, which the
+    round-4 L/14 trace bills at ~25 ms/step of materialized roll copies.
+    Budget model per grid step: 5 refs (x, c, a, b, o) double-buffered at
+    the input dtype plus three f32 row temporaries (xr and the two rolls),
+    capped at 24MB of the 32MB scoped budget the train step runs under."""
     if n <= 512:
         return n  # full-dim block: exempt from the divisibility rule
+    if n * w * (itemsize * 5 * 2 + 4 * 3) <= 24 * 1024 * 1024:
+        return n
     for bn in range(cap - cap % 8, 0, -8):
         if n % bn == 0:
             return bn
     return 0
 
 
-def supported(n: int) -> bool:
+def supported(n: int, w: int = 1024, itemsize: int = 2) -> bool:
     """Whether the kernel has a legal block plan for sequence length n."""
-    return _block_n(n) > 0
+    return _block_n(n, w=w, itemsize=itemsize) > 0
 
 
 def _rope_kernel(x_ref, c_ref, a_ref, b_ref, o_ref):
@@ -79,7 +89,7 @@ _INTERPRET = False
 
 def _rope_call(x, c, a, b):
     bsz, n, w = x.shape
-    bn = _block_n(n)
+    bn = _block_n(n, w=w, itemsize=x.dtype.itemsize)
     grid = (bsz, n // bn)
     xspec = pl.BlockSpec((1, bn, w), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec((bn, w), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM)

@@ -232,10 +232,16 @@ class TestBlockAndPadSelection:
         # multiscale 640px: blind 128-rounding would land on 1664 (blocks
         # of 128 only); the rule skips ahead to a >=384-block length
         assert flash_pad_target(1601) == 1920
-        for n in (4097, 1601, 3137, 401, 769):
+        # the L/14 teacher's 577 tokens: one full 640-wide block (round 4 —
+        # the 768 target the 512-capped rule used to pick adds +77% QK/AV
+        # FLOPs vs 640's +23%)
+        assert flash_pad_target(577) == 640
+        for n in (4097, 1601, 3137, 401, 769, 577):
             t = flash_pad_target(n)
             assert t >= n and t % 128 == 0
-            assert flash_block_size(t, cap=512) >= 384
+            # short sequences may take the whole padded length as one block;
+            # long ones keep the conservative 512 search cap
+            assert flash_block_size(t, cap=t if n < 1024 else 512) >= 384
             assert t <= n + (-n) % 512  # never worse than the old 512 rule
 
     def test_pad_target_512_env_restores_old_rule(self, monkeypatch):

@@ -21,10 +21,13 @@ def _interpret(monkeypatch):
     monkeypatch.setattr(rope_roll, "_INTERPRET", True)
 
 
-@pytest.mark.parametrize("n,w,dtype", [(272, 256, jnp.float32), (197, 128, jnp.bfloat16)])
+@pytest.mark.parametrize(
+    "n,w,dtype",
+    [(272, 256, jnp.float32), (197, 128, jnp.bfloat16), (577, 128, jnp.bfloat16)],
+)
 def test_forward_matches_xla_composition(n, w, dtype):
     head_dim = 64
-    gh = gw = 16 if n == 272 else 14
+    gh = gw = {272: 16, 197: 14, 577: 24}[n]
     cos_np, sa_np, sb_np = rope.rope_tables_flat_np(gh, gw, head_dim, w // head_dim, 1, n)
     cos, sa, sb = (jnp.asarray(t, dtype) for t in (cos_np, sa_np, sb_np))
     a2 = jnp.asarray(np.roll(sa_np, 1, -1), dtype)
@@ -85,3 +88,8 @@ def test_block_n_divides():
     assert rope_roll._block_n(4097) == 0
     assert not rope_roll.supported(4097)
     assert rope_roll.supported(4224) and rope_roll.supported(197)
+    # the L/14 teacher's 577-token crops (577 is prime): full-row block
+    # under the VMEM budget in bf16, XLA fallback in f32 (round 4)
+    assert rope_roll._block_n(577, w=1024, itemsize=2) == 577
+    assert rope_roll.supported(577, w=1024, itemsize=2)
+    assert not rope_roll.supported(577, w=1024, itemsize=4)
