@@ -164,30 +164,44 @@ class FViTDetector(nn.Module):
         each image's [G, Hm, Wm] masks become an Hm x Wm feature map with G
         channels; pooling the roi and selecting the assigned gt channel is
         one one-hot einsum — no per-roi crops.
+
+        mmdet runs the mask branch only on the POSITIVE sampled rois — at
+        most ``num * pos_fraction`` = 128 of the 512 (`RandomSampler`; the
+        loss zeroes everything else anyway). The jit formulation takes a
+        fixed 128-roi positives-first subset (stable argsort of the pos
+        flag), which contains every positive by the sampler's cap, so the
+        loss is unchanged while the head runs 4x fewer rois — and each roi
+        evaluates only its own class channel (`MaskHead(labels=...)`), not
+        the [N, H, W, 1203] map that OOMs at LVIS class counts.
         """
         c = self.cfg
+        b, r = tgt.rois.shape[:2]
+        mr = min(int(c.rcnn_sample.num * c.rcnn_sample.pos_fraction), r)
+        order = jnp.argsort(-tgt.pos.astype(jnp.int32), axis=1)[:, :mr]
+        rois = jnp.take_along_axis(tgt.rois, order[..., None], axis=1)
+        labels = jnp.take_along_axis(tgt.labels, order, axis=1)
+        gt_idx = jnp.take_along_axis(tgt.gt_idx, order, axis=1)
+        pos = jnp.take_along_axis(tgt.pos, order, axis=1)
+
         pooled = multilevel_roi_align(
-            feats[:4], tgt.rois, c.anchors.strides[:4], c.mask_roi_size, c.finest_scale
+            feats[:4], rois, c.anchors.strides[:4], c.mask_roi_size, c.finest_scale
         )
-        b, r = pooled.shape[:2]
-        mask_logits = self.mask_head(pooled.reshape((b * r,) + pooled.shape[2:]))
+        lab = jnp.clip(labels.reshape(-1), 0, c.num_classes - 1)
+        ml = self.mask_head(
+            pooled.reshape((b * mr,) + pooled.shape[2:]), lab
+        )  # [B*mr, o, o]
         out = c.mask_roi_size * 2
         # stride of the gt mask raster relative to image coords
         mstride = float(c.image_size) / float(gt_masks.shape[2])
         maps = jnp.moveaxis(gt_masks.astype(jnp.float32), 1, -1)  # [B, Hm, Wm, G]
-        tgt_masks = roi_align_nxn(maps, tgt.rois / mstride, (out, out))  # [B,R,o,o,G]
-        onehot = jax.nn.one_hot(tgt.gt_idx, gt_masks.shape[1])  # [B, R, G]
+        tgt_masks = roi_align_nxn(maps, rois / mstride, (out, out))  # [B,mr,o,o,G]
+        onehot = jax.nn.one_hot(gt_idx, gt_masks.shape[1])  # [B, mr, G]
         tgt_sel = jnp.einsum("brxyg,brg->brxy", tgt_masks, onehot)
-        tgt_sel = (tgt_sel > 0.5).astype(jnp.float32).reshape(b * r, out, out)
-        # select the label's mask channel
-        lab = jnp.clip(tgt.labels.reshape(-1), 0, c.num_classes - 1)
-        ml = jnp.take_along_axis(
-            mask_logits, lab[:, None, None, None], axis=-1
-        )[..., 0]
+        tgt_sel = (tgt_sel > 0.5).astype(jnp.float32).reshape(b * mr, out, out)
         bce = optax.sigmoid_binary_cross_entropy(ml, tgt_sel)
-        pos = tgt.pos.reshape(-1)
+        posf = pos.reshape(-1)
         per_roi = bce.mean(axis=(1, 2))
-        return (per_roi * pos).sum() / jnp.maximum(pos.sum(), 1.0)
+        return (per_roi * posf).sum() / jnp.maximum(posf.sum(), 1.0)
 
     # ----- inference ----------------------------------------------------
 
@@ -264,9 +278,10 @@ class FViTDetector(nn.Module):
             feats[:4], boxes, c.anchors.strides[:4], c.mask_roi_size, c.finest_scale
         )
         nd = mp.shape[1]
-        ml = self.mask_head(mp.reshape((b * nd,) + mp.shape[2:]))
         lab = jnp.clip(labels.reshape(-1), 0, c.num_classes - 1)
-        ml = jnp.take_along_axis(ml, lab[:, None, None, None], axis=-1)[..., 0]
+        # each detection evaluates only its own class channel (exact
+        # weight-gather — see MaskHead)
+        ml = self.mask_head(mp.reshape((b * nd,) + mp.shape[2:]), lab)
         probs = jax.nn.sigmoid(ml).reshape(b, nd, ml.shape[1], ml.shape[2])
         return boxes, scores, labels, probs
 

@@ -122,15 +122,52 @@ class FViTBBoxHead(nn.Module):
         return logits, deltas.astype(jnp.float32), normed
 
 
+class _ClassConv1x1(nn.Module):
+    """The mask head's final per-class 1x1 conv, with an exact label-gather
+    path: logits[n,y,x,k] = x[n,y,x,:] @ W[:,k] + b[k], so when each roi n
+    only ever consumes its own class channel k=labels[n] (the train loss AND
+    the test path both select exactly one channel per roi), gathering
+    W[:, labels] first computes the same values without materializing the
+    [N, H, W, num_classes] tensor — at LVIS's 1203 classes that tensor is
+    tens of GB and OOMs the compile. Param layout matches nn.Conv
+    (kernel [1, 1, C, K], bias [K]) so checkpoints are unaffected."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, labels: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        w = kernel[0, 0].astype(self.dtype)  # [C, K]
+        if labels is None:
+            return jnp.einsum("nyxc,ck->nyxk", x, w) + bias.astype(self.dtype)
+        wsel = jnp.take(w.T, labels, axis=0)  # [N, C]
+        bsel = jnp.take(bias, labels).astype(self.dtype)  # [N]
+        return jnp.einsum("nyxc,nc->nyx", x, wsel) + bsel[:, None, None]
+
+
 class MaskHead(nn.Module):
     """FCN mask head (mmdet FCNMaskHead semantics): 4 convs, 2x deconv,
-    per-class 1x1 mask logits (LVIS config `configs/ov_lvis/...:96-110`)."""
+    per-class 1x1 mask logits (LVIS config `configs/ov_lvis/...:96-110`).
+
+    `labels` (optional, [N]): return only each roi's own class channel
+    [N, H, W] via the exact weight-gather in `_ClassConv1x1` instead of the
+    full [N, H, W, num_classes] map — required at LVIS class counts."""
 
     cfg: FViTConfig
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, labels: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         c = self.cfg
         for i in range(c.mask_convs):
             x = ConvNorm(
@@ -142,10 +179,9 @@ class MaskHead(nn.Module):
             dtype=self.dtype, param_dtype=jnp.float32, name="upsample",
         )(x)
         x = nn.relu(x)
-        return nn.Conv(
-            c.num_classes, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
-            name="logits",
-        )(x)
+        return _ClassConv1x1(c.num_classes, dtype=self.dtype, name="logits")(
+            x, labels
+        )
 
 
 class RoITargets(NamedTuple):
