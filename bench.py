@@ -486,12 +486,20 @@ def bench_recipes() -> dict:
         "remat": {"BENCH_REMAT": "1"},
         "eval": {"BENCH_EVAL": "1"},
         "detector": {"BENCH_DETECTOR": "1"},
+        "detector_lvis": {"BENCH_DETECTOR": "1", "BENCH_DET_PRESET": "ov_lvis_vitb16"},
+        "e2e": {"BENCH_E2E": "1"},
     }
     for name, env in specs.items():
-        r = _run_recipe_subprocess(env)
+        # the detector graphs are the slowest compiles and the tunnel's
+        # remote-compile latency is bimodal (see PERF.md) — give those
+        # subprocesses the most room
+        r = _run_recipe_subprocess(
+            env, timeout=3000 if name.startswith("detector") else 1800
+        )
         if r is not None:
             recipes[name] = r["value"]
-            for extra in ("predict_img_s", "eval_5k_minutes_per_chip"):
+            for extra in ("predict_img_s", "eval_5k_minutes_per_chip",
+                          "host_ms_per_batch", "device_only_img_s"):
                 if extra in r:
                     recipes[f"{name}_{extra}"] = r[extra]
         else:

@@ -173,6 +173,26 @@ def test_detector_mask_branch(setup):
     assert np.all((probs >= 0) & (probs <= 1))
 
 
+def test_mask_head_label_gather_exact():
+    """_ClassConv1x1's label-gather path == full per-class conv + channel
+    select, bit-exact in f32 (the LVIS OOM fix must not change values)."""
+    from clipself_tpu.detector.roi_head import _ClassConv1x1
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(6, 8, 8, 16)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 11, size=(6,)), jnp.int32)
+    mod = _ClassConv1x1(11, dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    full = mod.apply({"params": params}, x)  # [6, 8, 8, 11]
+    gathered = mod.apply({"params": params}, x, labels)  # [6, 8, 8]
+    want = np.take_along_axis(
+        np.asarray(full), np.asarray(labels)[:, None, None, None], axis=-1
+    )[..., 0]
+    # same multiplies/adds; XLA may order the 16-term accumulation
+    # differently between the two einsum forms, so ~1 ULP rather than bits
+    np.testing.assert_allclose(np.asarray(gathered), want, rtol=1e-6, atol=1e-6)
+
+
 def test_backbone_taps_helper(setup):
     clip_model, clip_params, _, _, _, _, _ = setup
     rng = np.random.default_rng(0)
