@@ -101,8 +101,10 @@ _KNOBS: Dict[str, Knob] = {
             "NEGATIVE at the B/16 recipe: device-neutral (the reduce-fusion "
             "group collapses 14.7 -> 0.2 ms/step but reappears as generic-"
             "fusion and kernel time) while ~100 extra custom-call dispatches "
-            "cost ~2.5 ms/step of host gap (PERF.md). Kept as an experiment "
-            "flag for hosts where dispatch is cheap.",
+            "cost ~2.5 ms/step of host gap — but POSITIVE at the 24-layer "
+            "L/14 recipe (+1.4%, interleaved pair, PERF.md round 4), whose "
+            "fusion-granularity overhead is 2.5-3.1x floor. Default stays "
+            "off; the shipped L/14 train scripts export it on.",
         ),
         Knob(
             "flash_cls_split", False, bool, False,

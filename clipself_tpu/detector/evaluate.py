@@ -10,6 +10,7 @@ rare/common/frequent mAP groups).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import logging
 import time
@@ -27,7 +28,9 @@ from clipself_tpu.detector.fvit import FViTDetector, backbone_taps
 
 
 def make_predict_fn(det: FViTDetector, clip_model, cfg: FViTConfig, class_embed, base_mask):
-    @jax.jit
+    from clipself_tpu.train.step import _tpu_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=_tpu_compiler_options())
     def predict(det_params, clip_params, images, valid_hw):
         taps, dense = backbone_taps(clip_model, clip_params, images, cfg, True)
         return det.apply(

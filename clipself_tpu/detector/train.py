@@ -99,8 +99,14 @@ def make_det_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return state.replace(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
+    # same scoped-VMEM budget as the distill step (train/step.py): the
+    # frozen L/14 trunk's 4224x1024 rope kernel needs 17.25MB of kernel
+    # stack, over the compiler's 16MB default
+    from clipself_tpu.train.step import _tpu_compiler_options
+
+    opts = _tpu_compiler_options()
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(step_fn, donate_argnums=(0,), compiler_options=opts)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
@@ -108,6 +114,7 @@ def make_det_train_step(
         in_shardings=(repl, repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
+        compiler_options=opts,
     )
 
 

@@ -1,6 +1,9 @@
 #!/usr/bin/env bash
 # CLIPSelf image-patch distillation, EVA02-L/14-336 on LVIS images.
 # (reference: scripts/train_clipself_lvis_image_patches_eva_vitl14.sh)
+# Pallas one-pass LN measured +1.4% on the 24-layer tower (PERF.md round 4;
+# it is -2.4% on B/16, so this stays per-recipe rather than a global default)
+export CLIPSELF_PALLAS_LN=${CLIPSELF_PALLAS_LN:-1}
 python -m clipself_tpu.train.main \
   --model EVA02-CLIP-L-14-336 --pretrained checkpoints/EVA02_CLIP_L_336_psz14_s6B.pt \
   --dataset-type grid_distill --extract-type v2 \
