@@ -535,6 +535,11 @@ def main():
         os.environ["BENCH_MODEL"] = "EVA02-CLIP-L-14-336"
         os.environ["BENCH_IMAGE_SIZE"] = "896"
         os.environ["BENCH_CROP_SIZE"] = "336"
+        # bench the recipe as shipped: the L/14 train scripts export the
+        # fused-LN knob (measured +1.4% on the 24-layer tower, PERF.md;
+        # default-off globally because B/16 measures -2.4%)
+        had_ln = "CLIPSELF_PALLAS_LN" in os.environ
+        os.environ.setdefault("CLIPSELF_PALLAS_LN", "1")
         try:
             l14 = _bench_distill()
             result["l14_336_896px_img_s"] = l14["value"]
@@ -542,6 +547,8 @@ def main():
         finally:
             for k in ("BENCH_MODEL", "BENCH_IMAGE_SIZE", "BENCH_CROP_SIZE"):
                 del os.environ[k]
+            if not had_ln:
+                del os.environ["CLIPSELF_PALLAS_LN"]
     # non-default recipes (multiscale / region_clip / remat / eval /
     # detector), one subprocess each. On by default for the driver's
     # end-of-round record; A/B runs that pin BENCH_MODEL skip it, and

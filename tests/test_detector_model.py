@@ -193,6 +193,45 @@ def test_mask_head_label_gather_exact():
     np.testing.assert_allclose(np.asarray(gathered), want, rtol=1e-6, atol=1e-6)
 
 
+def test_detector_step_data_parallel_matches_single_device(setup):
+    """One detector train step on an 8-device `data` mesh == the unsharded
+    step (the batch-sharding psum is the detector's DDP equivalent; the
+    distill step has the same guarantee in test_multichip_dryrun)."""
+    from jax.sharding import Mesh
+    from clipself_tpu.detector.train import (
+        DetTrainState, build_det_optimizer, make_det_train_step,
+    )
+    from clipself_tpu.parallel.mesh import shard_batch
+
+    clip_model, clip_params, det, det_params, taps, dense, class_embed = setup
+    tx = build_det_optimizer()
+    rng = np.random.default_rng(11)
+    b = 8
+    images = jnp.asarray(rng.normal(size=(b, 64, 64, 3)), jnp.float32)
+    xy = rng.uniform(0, 30, size=(b, 5, 2)).astype(np.float32)
+    wh = rng.uniform(8, 30, size=(b, 5, 2)).astype(np.float32)
+    batch = {
+        "images": images,
+        "gt_boxes": jnp.asarray(np.concatenate([xy, np.clip(xy + wh, None, 64)], -1)),
+        "gt_labels": jnp.asarray(rng.integers(0, 6, size=(b, 5)), jnp.int32),
+        "gt_valid": jnp.ones((b, 5), bool),
+    }
+    key = jax.random.PRNGKey(4)
+
+    # the step donates its state — give each run its own copy of the params
+    state0 = DetTrainState.create(jax.tree.map(jnp.copy, det_params), tx)
+    step1 = make_det_train_step(det, clip_model, tx, DET_CFG, class_embed, None, mesh=None)
+    _, m1 = step1(state0, clip_params, batch, key)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    stepN = make_det_train_step(det, clip_model, tx, DET_CFG, class_embed, None, mesh=mesh)
+    stateM = DetTrainState.create(jax.tree.map(jnp.copy, det_params), tx)
+    _, mN = stepN(stateM, clip_params, shard_batch(mesh, batch), key)
+    np.testing.assert_allclose(
+        float(mN["loss"]), float(m1["loss"]), rtol=2e-6, atol=2e-6
+    )
+
+
 def test_backbone_taps_helper(setup):
     clip_model, clip_params, _, _, _, _, _ = setup
     rng = np.random.default_rng(0)
