@@ -131,6 +131,14 @@ _KNOBS: Dict[str, Knob] = {
             "logits.",
         ),
         Knob(
+            "fused_proj", False, bool, False,
+            "Run the subln q/k/v projections (and SwiGLU's gate+up pair) "
+            "as one concatenated matmul per site instead of 3/2 separate "
+            "ones — same values (bias added post-split exactly as nn.Dense "
+            "does), one read of the activation instead of three in "
+            "fwd/dgrad/wgrad. A/B in PERF.md.",
+        ),
+        Knob(
             "log_grad_norm", False, bool, False,
             "Emit a per-step grad_norm metric (costs real step time; the "
             "reference only computes it under --grad-clip-norm).",

@@ -84,6 +84,14 @@ class _FusableLayerNorm(nn.Module):
         return (xf - mu) * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
 
 
+def _fused_proj() -> bool:
+    """Whether to run the subln q/k/v trio (and SwiGLU's gate+up pair) as
+    one concatenated matmul (knob `fused_proj`; A/B in PERF.md)."""
+    from clipself_tpu.core import knobs
+
+    return bool(knobs.get("fused_proj"))
+
+
 def _layer_norm(name: str, eps: float, dtype: Optional[Any] = None):
     # LayerNorm computes in f32 regardless of activation dtype (parity with
     # the reference's fp32 LN behavior under AMP). `dtype` is the owning
@@ -170,6 +178,24 @@ class EvaAttention(nn.Module):
     def _qkv_flat(self, x: jnp.ndarray):
         c = self.cfg
         if c.subln:
+            if _fused_proj() and not self.is_initializing():
+                # one [W, 3W] matmul instead of three [W, W]: same values
+                # (bias added after the split exactly as nn.Dense adds it),
+                # one read of x instead of three in fwd/dgrad/wgrad. Params
+                # stay under q_proj/k_proj/v_proj — checkpoints unchanged.
+                pq, pk, pv = (
+                    m.variables["params"]
+                    for m in (self.q_proj, self.k_proj, self.v_proj)
+                )
+                w = jnp.concatenate(
+                    [pq["kernel"], pk["kernel"], pv["kernel"]], axis=1
+                ).astype(self.dtype)
+                qkv = x @ w
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                if c.qkv_bias:
+                    q = q + pq["bias"].astype(q.dtype)
+                    v = v + pv["bias"].astype(v.dtype)
+                return q, k, v
             q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
         else:
             qkv = self.qkv(x)
@@ -267,7 +293,16 @@ class SwiGLU(nn.Module):
         self.w3 = nn.Dense(c.width, name="w3", **kw)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.silu(self.w1(x)) * self.w2(x)
+        if _fused_proj() and not self.is_initializing():
+            # gate+up as one [W, 2H] matmul (see _qkv_flat)
+            p1 = self.w1.variables["params"]
+            p2 = self.w2.variables["params"]
+            w = jnp.concatenate([p1["kernel"], p2["kernel"]], axis=1).astype(self.dtype)
+            b = jnp.concatenate([p1["bias"], p2["bias"]]).astype(self.dtype)
+            h1, h2 = jnp.split(x @ w + b, 2, axis=-1)
+            h = nn.silu(h1) * h2
+        else:
+            h = nn.silu(self.w1(x)) * self.w2(x)
         if self.ffn_ln is not None:
             h = self.ffn_ln(h).astype(self.dtype)
         return self.w3(h)

@@ -301,3 +301,34 @@ def test_rel_pos_bias_torch_roundtrip():
     np.testing.assert_allclose(
         got, sd["visual.blocks.0.attn.relative_position_bias_table"]
     )
+
+
+def test_fused_proj_knob_equivalence(model_and_params):
+    """fused_proj=1 (one concatenated q/k/v + SwiGLU gate-up matmul) must
+    reproduce the separate-projection path: same multiplies in the same
+    dtype, so f32 CPU agreement is tight (accumulation-order ULPs only)."""
+    from clipself_tpu.core import knobs
+
+    model, params = model_and_params
+    img = jnp.asarray(np.random.default_rng(8).normal(size=(2, 32, 32, 3)), jnp.float32)
+    grads_of = lambda: jax.grad(
+        lambda p: jnp.sum(model.apply({"params": p}, img, method="encode_dense"))
+    )(params)
+    base = model.apply({"params": params}, img, method="encode_dense")
+    gbase = grads_of()
+    knobs.set("fused_proj", True)
+    try:
+        fused = model.apply({"params": params}, img, method="encode_dense")
+        gfused = grads_of()
+    finally:
+        knobs.set("fused_proj", None)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base), rtol=2e-6, atol=2e-6)
+    key = lambda pl: jax.tree_util.keystr(pl[0])
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(gbase), key=key),
+        sorted(jax.tree_util.tree_leaves_with_path(gfused), key=key),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-5, atol=5e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(ka)}",
+        )
