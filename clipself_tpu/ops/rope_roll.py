@@ -48,19 +48,31 @@ def _block_n(n: int, cap: int = 1056, w: int = 1024, itemsize: int = 2) -> int:
     like 4097 = 17 x 241, which has no 8-aligned divisor, only occurs on
     the CPU/XLA test paths where the knob is off anyway.)
 
-    Full-row blocks are also taken above 512 rows when they fit a VMEM byte
+    Full-row blocks are also taken above 512 rows when they fit the VMEM
     budget — the L/14 teacher's 577-token crops (577 is prime: no aligned
     divisor exists) otherwise fall back to the XLA composition, which the
     round-4 L/14 trace bills at ~25 ms/step of materialized roll copies.
-    Budget model per grid step: 5 refs (x, c, a, b, o) double-buffered at
-    the input dtype plus three f32 row temporaries (xr and the two rolls),
-    capped at 24MB of the 32MB scoped budget the train step runs under."""
+
+    Blocks must fit the compiler's DEFAULT 16MB scoped-VMEM budget — the
+    kernel must not depend on its caller's `compiler_options` (the train
+    and detector steps request 32MB, but the evaluator and any user jit
+    run at the default; a 1056-row block at width 1024 measures 16.5-17.3MB
+    of kernel stack and OOMed the L/14 eval compile). Empirical stack model
+    from those compiles: ~8x the block's input bytes (refs double-buffered
+    plus the three f32 row temporaries); capped at 14MB for headroom under
+    co-scheduled kernels. Width 768 keeps its measured-optimal 1056 block
+    (13.0MB); width 1024 steps down to 704 (11.5MB)."""
+    budget = 14 * 1024 * 1024
+
+    def fits(rows: int) -> bool:
+        return rows * w * itemsize * 8 <= budget
+
     if n <= 512:
         return n  # full-dim block: exempt from the divisibility rule
-    if n * w * (itemsize * 5 * 2 + 4 * 3) <= 24 * 1024 * 1024:
+    if fits(n):
         return n
     for bn in range(cap - cap % 8, 0, -8):
-        if n % bn == 0:
+        if n % bn == 0 and fits(bn):
             return bn
     return 0
 

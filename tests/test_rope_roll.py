@@ -93,3 +93,11 @@ def test_block_n_divides():
     assert rope_roll._block_n(577, w=1024, itemsize=2) == 577
     assert rope_roll.supported(577, w=1024, itemsize=2)
     assert not rope_roll.supported(577, w=1024, itemsize=4)
+    # blocks must fit the compiler's DEFAULT 16MB scoped budget (the
+    # evaluator compiles without the train step's 32MB option): width 768
+    # keeps the measured-optimal 1056, width 1024 steps down to 704
+    assert rope_roll._block_n(4224, w=768, itemsize=2) == 1056
+    assert rope_roll._block_n(4224, w=1024, itemsize=2) == 704
+    for n, w, it in [(4224, 768, 2), (4224, 1024, 2), (5376, 1024, 2)]:
+        bn = rope_roll._block_n(n, w=w, itemsize=it)
+        assert bn * w * it * 8 <= 14 * 1024 * 1024
