@@ -145,6 +145,48 @@ def test_eva_tower_grad_knob_on_vs_off(monkeypatch):
     np.testing.assert_allclose(outs[True][2], outs[False][2], rtol=2e-4, atol=2e-5)
 
 
+def test_eva_tower_grad_knob_under_remat(monkeypatch):
+    """The shipped L/14 scripts combine CLIPSELF_PALLAS_LN=1 with optional
+    --grad-checkpointing: the LN custom_vjp must compose with jax.checkpoint
+    (primal recompute re-enters the kernel). Same tiny tower as above, built
+    remat=True, knob on vs off."""
+    import jax
+
+    from clipself_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+    from clipself_tpu.models.factory import create_model
+
+    monkeypatch.setattr(pln, "available", lambda: True)
+
+    cfg = CLIPConfig(
+        embed_dim=32,
+        vision=VisionConfig(
+            image_size=64, layers=2, width=128, head_width=64, patch_size=16,
+            mlp_ratio=2.6667, rope=True, pt_hw_seq_len=16, intp_freq=True,
+            naiveswiglu=True, subln=True, eva_model_name="tiny-ln-remat",
+        ),
+        text=TextConfig(context_length=8, vocab_size=64, width=32, heads=2, layers=1),
+        name="tiny-ln-remat",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32, remat=True)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    boxes = jnp.asarray([[[0.1, 0.1, 0.6, 0.7]]], jnp.float32)
+
+    def loss(images):
+        feats = model.apply(
+            {"params": params}, images, boxes, True, method="encode_pseudo_boxes"
+        )
+        return jnp.sum(feats * feats)
+
+    outs = {}
+    for on in (False, True):
+        monkeypatch.setenv("CLIPSELF_PALLAS_LN", "1" if on else "0")
+        val, grad = jax.value_and_grad(loss)(images)
+        outs[on] = (float(val), np.asarray(grad))
+    assert abs(outs[True][0] - outs[False][0]) <= 1e-4 * max(1.0, abs(outs[False][0]))
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=2e-4, atol=2e-5)
+
+
 def test_block_plan_respects_bytes_budget():
     # advisor round-3: the block cap must come from a bytes budget, not a
     # fixed row count — an f32 [1024, 2048] tile is 8MB and overflows the
