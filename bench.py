@@ -538,8 +538,10 @@ def main():
         # bench the recipe as shipped: the L/14 train scripts export the
         # fused-LN knob (measured +1.4% on the 24-layer tower, PERF.md;
         # default-off globally because B/16 measures -2.4%)
-        had_ln = "CLIPSELF_PALLAS_LN" in os.environ
-        os.environ.setdefault("CLIPSELF_PALLAS_LN", "1")
+        recipe_env = ("CLIPSELF_PALLAS_LN", "CLIPSELF_XLA_ATTN_HALF_LOGITS")
+        had = {k: k in os.environ for k in recipe_env}
+        for k in recipe_env:
+            os.environ.setdefault(k, "1")
         try:
             l14 = _bench_distill()
             result["l14_336_896px_img_s"] = l14["value"]
@@ -547,8 +549,9 @@ def main():
         finally:
             for k in ("BENCH_MODEL", "BENCH_IMAGE_SIZE", "BENCH_CROP_SIZE"):
                 del os.environ[k]
-            if not had_ln:
-                del os.environ["CLIPSELF_PALLAS_LN"]
+            for k in recipe_env:
+                if not had[k]:
+                    del os.environ[k]
     # non-default recipes (multiscale / region_clip / remat / eval /
     # detector), one subprocess each. On by default for the driver's
     # end-of-round record; A/B runs that pin BENCH_MODEL skip it, and

@@ -121,14 +121,27 @@ _KNOBS: Dict[str, Knob] = {
             "trainers set 768 under remat).",
         ),
         Knob(
-            "xla_attn_half_logits", True, bool, False,
+            "xla_attn_half_logits", False, bool, False,
             "Store XLA-path attention logits/probs in the input half dtype "
             "instead of f32 (softmax math stays f32-stable in-register). "
             "Halves the dominant HBM traffic of the L/14 teacher's 577-token "
-            "crops ([40,16,577,577] per layer); matches the reference "
-            "teacher's fp16-autocast numerics class. Only engages for "
-            "half-precision inputs with no additive mask; 0 restores f32 "
-            "logits.",
+            "crops ([40,16,577,577] per layer, +6% recipe throughput); "
+            "matches the reference teacher's fp16-autocast numerics class "
+            "(bf16's 8-bit mantissa is coarser than fp16's 10). Only engages "
+            "for half-precision inputs with no additive mask. Default OFF so "
+            "short-sequence student/eval paths keep f32 logits; the L/14 "
+            "recipe scripts export it on, where it was measured (advisor "
+            "round-4 finding).",
+        ),
+        Knob(
+            "xla_attn_chunk_q", 0, int, False,
+            "Query-chunked XLA attention: scan over query blocks of this "
+            "size so each [B, H, chunk, N] logit panel is softmaxed and "
+            "contracted before the next exists — the standard middle option "
+            "between materializing [B, H, N, N] and Pallas flash, aimed at "
+            "the L/14 teacher's 577-token crops (VERDICT r4 #3). 0 = off "
+            "(default); only engages for mask-free calls with N > chunk. "
+            "A/B in PERF.md.",
         ),
         Knob(
             "fused_proj", False, bool, False,

@@ -92,27 +92,35 @@ def random_sample(
     num_pos_max = int(num * pos_fraction)
     kpos, kneg = jax.random.split(rng)
 
+    # Exact top-k scatter masks rather than score thresholds: a `>= kth`
+    # threshold keeps EVERY entry tied at the k-th score, so a float32
+    # noise collision among > k candidates could silently exceed the cap
+    # (advisor round-4 finding). top_k breaks ties by index, so the masks
+    # hold exactly min(count, cap) entries by construction — the invariant
+    # the mask branch's positives-first subset (fvit.py::_mask_loss) and
+    # the reference's RandomSampler both rely on.
     pos_noise = jax.random.uniform(kpos, (n,))
     pos_score = jnp.where(assign.pos, pos_noise, -1.0)
-    # rank positives; keep top num_pos_max of them
-    kth_pos = _kth_largest(pos_score, num_pos_max)
-    pos_mask = assign.pos & (pos_score >= kth_pos)
+    pos_mask = _topk_mask(pos_score, num_pos_max) & assign.pos
     num_pos = jnp.minimum(assign.pos.sum(), num_pos_max)
 
-    budget = num - num_pos
+    budget = num - num_pos  # traced: dynamic cutoff within a static top-k
     neg_noise = jax.random.uniform(kneg, (n,))
     neg_score = jnp.where(assign.neg, neg_noise, -1.0)
-    # keep `budget` negatives: threshold at the budget-th largest score
-    sorted_neg = jnp.sort(neg_score)[::-1]
-    kth_neg = sorted_neg[jnp.clip(budget - 1, 0, n - 1)]
-    neg_mask = assign.neg & (neg_score >= kth_neg) & (budget > 0)
+    neg_mask = _topk_mask(neg_score, num, k_dynamic=budget) & assign.neg
     num_neg = jnp.minimum(assign.neg.sum(), budget)
     return SampleResult(pos_mask=pos_mask, neg_mask=neg_mask, num_pos=num_pos, num_neg=num_neg)
 
 
-def _kth_largest(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Value of the k-th largest element (static k); -inf-ish if k == 0."""
+def _topk_mask(score: jnp.ndarray, k: int, k_dynamic=None) -> jnp.ndarray:
+    """Boolean mask of the top-k scores, ties broken by index (static k).
+
+    k_dynamic (traced, <= k) optionally keeps only the first k_dynamic of
+    the k ranked entries."""
+    n = score.shape[0]
     if k <= 0:
-        return jnp.asarray(jnp.inf, x.dtype)
-    top, _ = jax.lax.top_k(x, min(k, x.shape[0]))
-    return top[-1]
+        return jnp.zeros((n,), bool)
+    k = min(k, n)
+    _, idx = jax.lax.top_k(score, k)
+    keep = jnp.ones((k,), bool) if k_dynamic is None else jnp.arange(k) < k_dynamic
+    return jnp.zeros((n,), bool).at[idx].set(keep)

@@ -42,9 +42,10 @@ def _xla_attention(
 ) -> jnp.ndarray:
     """Reference XLA attention. q,k,v: [B, N, H, D]; mask: additive [..., N, N].
 
-    Half-logits path (`xla_attn_half_logits`, default on): when the inputs
-    are half-precision and there is no additive mask, the [B, H, N, N]
-    logits tensor is STORED in the input dtype instead of f32 — the L/14
+    Half-logits path (`xla_attn_half_logits`, default off; the L/14 recipe
+    scripts export it on): when the inputs are half-precision and there is
+    no additive mask, the [B, H, N, N] logits tensor is STORED in the input
+    dtype instead of f32 — the L/14
     teacher's 20x336px crops materialize [40, 16, 577, 577] per layer
     (850MB in f32), the dominant HBM traffic of that recipe's teacher. The
     softmax stays f32-stable (max-subtract, exp and divide computed in f32
@@ -53,6 +54,9 @@ def _xla_attention(
     runs under fp16 autocast, which stores fp16 logits and fp16 probs
     (torch softmax upcasts to f32 internally the same way).
     """
+    chunk = int(knobs.get("xla_attn_chunk_q"))
+    if mask is None and chunk > 0 and q.shape[1] > chunk:
+        return _chunked_xla_attention(q, k, v, scale, chunk)
     if (
         mask is None
         and q.dtype in (jnp.bfloat16, jnp.float16)
@@ -73,6 +77,44 @@ def _xla_attention(
         logits = logits + mask
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _chunked_xla_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float, chunk: int
+) -> jnp.ndarray:
+    """Query-chunked XLA attention (`xla_attn_chunk_q` knob, default off).
+
+    The third option between "materialize [B, H, N, N]" and "Pallas flash"
+    for mid-length sequences like the L/14 teacher's 577-token crops
+    (VERDICT r4 #3): a `lax.scan` over query blocks computes each
+    [B, H, chunk, N] logit panel, softmaxes and contracts it before the
+    next panel exists — peak logits memory drops by N/chunk with no flash
+    pad/layout cost. Query rows are independent, so padding N up to a chunk
+    multiple is exact (keys are never padded; padded query rows are sliced
+    off). Each panel stores logits in the input dtype with the f32-stable
+    in-register softmax (exactly the half-logits numerics) when the inputs
+    are half-precision, f32 otherwise. A/B results in PERF.md.
+    """
+    b, n, h, d = q.shape
+    pad = (-n) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nc = (n + pad) // chunk
+    qs = jnp.moveaxis(qp.reshape(b, nc, chunk, h, d), 1, 0)  # [nc, B, c, H, D]
+    half = q.dtype in (jnp.bfloat16, jnp.float16)
+    ldtype = q.dtype if half else jnp.float32
+
+    def body(_, qc):
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", qc, k, preferred_element_type=ldtype
+        ) * jnp.asarray(scale, ldtype)
+        m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.exp((logits - m).astype(jnp.float32))
+        probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
+        return None, jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+    _, outs = jax.lax.scan(body, None, qs)  # [nc, B, c, H, D]
+    out = jnp.moveaxis(outs, 0, 1).reshape(b, nc * chunk, h, d)
+    return out[:, :n]
 
 
 def _flash_available() -> bool:

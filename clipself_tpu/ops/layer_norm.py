@@ -65,8 +65,20 @@ def _block_n(n: int, cap: int, width: int) -> int:
 
 
 def supported(n: int, width: int) -> bool:
-    """Whether the kernel has a legal block plan for [*, n, width] inputs."""
-    return width % 128 == 0 and width <= 2048 and _block_n(n, 1024, width) > 0
+    """Whether the kernel has a legal block plan for [*, n, width] inputs.
+
+    Requires a legal plan for BOTH passes: the backward keeps an x and a dy
+    tile resident, so it plans with half the row cap at double the width
+    (`_bwd_call`). Without the second check, shapes like n=512/w=1024 (a
+    real SwiGLU ffn_ln width) would claim support, then hit a zero backward
+    block — and a trace-time ZeroDivisionError — the first time a gradient
+    flows through (advisor round-4 finding)."""
+    return (
+        width % 128 == 0
+        and width <= 2048
+        and _block_n(n, 1024, width) > 0
+        and _block_n(n, 512, 2 * width) > 0
+    )
 
 
 def available() -> bool:

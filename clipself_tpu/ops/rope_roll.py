@@ -68,7 +68,10 @@ def _block_n(n: int, cap: int = 1056, w: int = 1024, itemsize: int = 2) -> int:
         return rows * w * itemsize * 8 <= budget
 
     if n <= 512:
-        return n  # full-dim block: exempt from the divisibility rule
+        # full-dim block: exempt from the divisibility rule, but NOT from
+        # the VMEM budget (a 512-row f32 block at w=1024 is 16MB by the
+        # stack model — advisor round-4 finding)
+        return n if fits(n) else 0
     if fits(n):
         return n
     for bn in range(cap - cap % 8, 0, -8):

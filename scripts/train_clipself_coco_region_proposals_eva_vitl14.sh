@@ -4,6 +4,9 @@
 # Pallas one-pass LN measured +1.4% on the 24-layer tower (PERF.md round 4;
 # it is -2.4% on B/16, so this stays per-recipe rather than a global default)
 export CLIPSELF_PALLAS_LN=${CLIPSELF_PALLAS_LN:-1}
+# bf16 teacher attention logits measured +6% on the 577-token L/14 teacher
+# crops (PERF.md round 4); per-recipe, not a global default (advisor round 4)
+export CLIPSELF_XLA_ATTN_HALF_LOGITS=${CLIPSELF_XLA_ATTN_HALF_LOGITS:-1}
 python -m clipself_tpu.train.main \
   --model EVA02-CLIP-L-14-336 --pretrained checkpoints/EVA02_CLIP_L_336_psz14_s6B.pt \
   --dataset-type proposals_distill --extract-type v2 \

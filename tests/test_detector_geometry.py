@@ -155,3 +155,28 @@ def test_pallas_nms_matches_lax(monkeypatch):
         )
     )
     assert not keep2[100:].any()
+
+
+def test_random_sample_exact_under_score_ties():
+    """Tied sampling scores must not overshoot the caps: the old
+    `score >= kth` threshold kept EVERY entry tied at the k-th value
+    (advisor round-4 finding); the top-k scatter masks keep exactly
+    min(count, cap) regardless of ties."""
+    from clipself_tpu.detector.targets import Assignment, _topk_mask
+
+    # direct: all-tied scores still yield exactly k entries
+    mask = np.asarray(_topk_mask(jnp.zeros(50), 7))
+    assert mask.sum() == 7
+    # dynamic cutoff inside the static top-k
+    mask = np.asarray(_topk_mask(jnp.zeros(50), 10, k_dynamic=jnp.asarray(4)))
+    assert mask.sum() == 4
+
+    # end-to-end: more positives than the cap — never exceeds it
+    n = 64
+    pos = jnp.ones(n, bool)
+    a = Assignment(
+        gt_idx=jnp.zeros(n, jnp.int32), max_iou=jnp.zeros(n), pos=pos, neg=~pos
+    )
+    r = random_sample(jax.random.PRNGKey(1), a, 32, 0.5)
+    assert int(r.pos_mask.sum()) == 16
+    assert int(r.neg_mask.sum()) == 0

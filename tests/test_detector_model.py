@@ -238,3 +238,83 @@ def test_backbone_taps_helper(setup):
     images = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
     taps, dense = backbone_taps(clip_model, clip_params, images, DET_CFG, True)
     assert len(taps) == 4 and dense is not None
+
+
+def test_mask_loss_subset_equals_full(setup):
+    """The positives-first fixed-subset mask loss (fvit._mask_loss, the
+    LVIS OOM fix) EQUALS the full-R-roi formulation whenever the sampler
+    cap holds — pinned on a scattered-positives batch and on a batch with
+    positives exactly at the cap, not argued from first principles."""
+    import dataclasses
+
+    from clipself_tpu.detector.roi_head import RoITargets, multilevel_roi_align
+    import optax
+
+    clip_model, clip_params, _, _, taps, dense, class_embed = setup
+    cfg = dataclasses.replace(
+        DET_CFG, with_mask=True, mask_convs=1, mask_channels=16, mask_roi_size=4
+    )
+    det = FViTDetector(cfg, dtype=jnp.float32)
+    rois_init = jnp.asarray([[[4.0, 4.0, 30.0, 30.0]], [[8.0, 8.0, 40.0, 50.0]]])
+    params = det.init(jax.random.PRNGKey(2), taps, rois_init, class_embed)["params"]
+    feats, _, _ = det.apply({"params": params}, taps, method="features")
+
+    rng = np.random.default_rng(9)
+    b, r, g = 2, cfg.rcnn_sample.num, cfg.max_gt
+    mr = int(cfg.rcnn_sample.num * cfg.rcnn_sample.pos_fraction)  # 4
+    xy = rng.uniform(0, 30, size=(b, r, 2)).astype(np.float32)
+    wh = rng.uniform(6, 30, size=(b, r, 2)).astype(np.float32)
+    rois = jnp.asarray(np.concatenate([xy, np.clip(xy + wh, None, 64)], -1))
+    # image 0: 2 positives scattered deep in the roi list (stresses the
+    # stable argsort reorder); image 1: exactly mr positives (the cap)
+    pos = np.zeros((b, r), bool)
+    pos[0, [7, 12]] = True
+    pos[1, [3, 5, 9, 15]] = True
+    assert pos[1].sum() == mr
+    labels = np.full((b, r), cfg.num_classes, np.int32)  # background
+    labels[pos] = rng.integers(0, cfg.num_classes, size=int(pos.sum()))
+    tgt = RoITargets(
+        rois=rois,
+        labels=jnp.asarray(labels),
+        chosen=jnp.asarray(pos),
+        pos=jnp.asarray(pos),
+        reg_targets=jnp.zeros((b, r, 4), jnp.float32),
+        gt_idx=jnp.asarray(rng.integers(0, g, size=(b, r)), jnp.int32),
+    )
+    gt_masks = jnp.asarray(
+        (rng.uniform(size=(b, g, 16, 16)) > 0.5), jnp.float32
+    )
+
+    subset = det.apply({"params": params}, feats, tgt, gt_masks, method="_mask_loss")
+
+    def full_formulation(mdl, feats, tgt, gt_masks):
+        """All-R-roi mask loss: head on every sampled roi, masked mean over
+        positives — the formulation the subset claims to preserve."""
+        c = mdl.cfg
+        from clipself_tpu.ops.roi_align import roi_align_nxn
+
+        b, r = tgt.rois.shape[:2]
+        pooled = multilevel_roi_align(
+            feats[:4], tgt.rois, c.anchors.strides[:4], c.mask_roi_size,
+            c.finest_scale,
+        )
+        lab = jnp.clip(tgt.labels.reshape(-1), 0, c.num_classes - 1)
+        ml = mdl.mask_head(pooled.reshape((b * r,) + pooled.shape[2:]), lab)
+        out = c.mask_roi_size * 2
+        mstride = float(c.image_size) / float(gt_masks.shape[2])
+        maps = jnp.moveaxis(gt_masks.astype(jnp.float32), 1, -1)
+        tgt_masks = roi_align_nxn(maps, tgt.rois / mstride, (out, out))
+        onehot = jax.nn.one_hot(tgt.gt_idx, gt_masks.shape[1])
+        tgt_sel = jnp.einsum("brxyg,brg->brxy", tgt_masks, onehot)
+        tgt_sel = (tgt_sel > 0.5).astype(jnp.float32).reshape(b * r, out, out)
+        bce = optax.sigmoid_binary_cross_entropy(ml, tgt_sel)
+        posf = tgt.pos.reshape(-1)
+        per_roi = bce.mean(axis=(1, 2))
+        return (per_roi * posf).sum() / jnp.maximum(posf.sum(), 1.0)
+
+    full = det.apply(
+        {"params": params}, feats, tgt, gt_masks, method=full_formulation
+    )
+    # identical per-roi math on the same rois; only batch tiling differs
+    np.testing.assert_allclose(float(subset), float(full), rtol=1e-6, atol=1e-7)
+    assert float(subset) > 0.0

@@ -231,3 +231,16 @@ def test_primal_is_stats_free():
     )(x)
     calls = find_pallas(jaxpr_g.jaxpr, [])
     assert max(len(e.outvars) for e in calls) == 3
+
+
+def test_supported_requires_legal_backward_plan():
+    """supported() must reject shapes whose BACKWARD block plan is zero —
+    n=512/w=1024 (a real SwiGLU ffn_ln width) passed the forward-only check
+    but divided by a zero backward block at trace time whenever a gradient
+    flowed (advisor round-4 medium finding)."""
+    assert not pln.supported(512, 1024)
+    assert not pln.supported(384, 2048)
+    # ... and the accepted recipe shapes still plan a positive bwd block
+    for n, w in [(4224, 768), (197, 768), (4224, 1024)]:
+        assert pln.supported(n, w)
+        assert pln._block_n(n, 512, 2 * w) > 0, (n, w)

@@ -101,3 +101,12 @@ def test_block_n_divides():
     for n, w, it in [(4224, 768, 2), (4224, 1024, 2), (5376, 1024, 2)]:
         bn = rope_roll._block_n(n, w=w, itemsize=it)
         assert bn * w * it * 8 <= 14 * 1024 * 1024
+
+
+def test_full_row_branch_respects_vmem_budget():
+    """The n<=512 full-row branch must apply the same fits() VMEM check as
+    the long-sequence branches: a 512-token f32 block at w=1024 is 16MB by
+    the stack model — over the 14MB budget (advisor round-4 finding)."""
+    assert not rope_roll.supported(512, w=1024, itemsize=4)
+    assert rope_roll.supported(512, w=1024, itemsize=2)
+    assert rope_roll.supported(197, w=768, itemsize=4)
