@@ -21,13 +21,16 @@ pooling) and a bias-free linear projection:
 Both mirror timm's ViT block exactly: pre-norm, fused qkv (qkv_bias=False
 for these two variants), gelu MLP at 4x, no layer-scale. timm itself is not
 importable in this environment and no released checkpoints for these two
-names exist offline. The GAP variant's math is nonetheless golden-pinned
-against transformers' torch `ViTModel` — an independent plain abs-pos ViT —
-with its final layernorm applied post-pool as fc_norm
-(tests/test_timm_towers.py::test_gap_vit_math_golden_vs_transformers_torch_vit);
-only the rel-pos variant remains structurally pinned (the Swin and ConvNeXt
-members of the timm family carry the other independent-math goldens for the
-adapter head).
+names exist offline. Both variants are nonetheless golden-pinned against
+independent torch implementations: the GAP variant vs transformers'
+`ViTModel` (final layernorm applied post-pool as fc_norm,
+tests/test_timm_towers.py::test_gap_vit_math_golden_vs_transformers_torch_vit)
+and the rel-pos variant vs transformers' `BeitModel` (its bias TABLE
+generated from our RelPosMlp at each slot's decoded (dy, dx), pinning the
+relative-coordinate/index conventions and bias-on-logits placement;
+test_relpos_vit_math_golden_vs_transformers_torch_beit). The Swin and
+ConvNeXt members of the timm family carry the other independent-math
+goldens for the adapter head.
 
 Dense-protocol note: as with Swin (see `swin.py` docstring), the
 reference's `TimmModel.encode_dense` requires a convnet `trunk.head.norm`

@@ -1,0 +1,67 @@
+"""Query-chunked XLA attention == the reference full-softmax path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipself_tpu.core import knobs
+from clipself_tpu.ops.attention import _chunked_xla_attention, _xla_attention
+
+
+def _qkv(n=37, b=2, h=3, d=16, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(size=(b, n, h, d)), dtype)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("n,chunk", [(37, 8), (577, 128), (64, 64)])
+def test_chunked_matches_full_f32(n, chunk):
+    q, k, v = _qkv(n=n)
+    want = _xla_attention(q, k, v, 0.25)
+    got = _chunked_xla_attention(q, k, v, 0.25, chunk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6, rtol=1e-6)
+
+
+def test_chunked_bf16_matches_half_logits_numerics():
+    """The chunked panels use exactly the half-logits storage/softmax
+    recipe for half inputs — panel-wise equality with that path."""
+    q, k, v = _qkv(n=577, dtype=jnp.bfloat16, seed=1)
+    knobs.set("xla_attn_half_logits", True)
+    try:
+        want = _xla_attention(q, k, v, 0.125)
+    finally:
+        knobs.set("xla_attn_half_logits", None)
+    got = _chunked_xla_attention(q, k, v, 0.125, 128)
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    # same math per panel; only the jnp.max panel extent differs (the
+    # row-max is over the same full key axis) -> tight agreement
+    np.testing.assert_allclose(g, w, atol=2e-2, rtol=2e-2)
+    cos = (g * w).sum() / (np.linalg.norm(g) * np.linalg.norm(w))
+    assert cos > 0.9999
+
+
+def test_knob_routes_dispatcher():
+    q, k, v = _qkv(n=37)
+    base = _xla_attention(q, k, v, 0.25)
+    knobs.set("xla_attn_chunk_q", 8)
+    try:
+        routed = _xla_attention(q, k, v, 0.25)
+    finally:
+        knobs.set("xla_attn_chunk_q", None)
+    np.testing.assert_allclose(
+        np.asarray(routed), np.asarray(base), atol=1e-6, rtol=1e-6
+    )
+
+
+def test_chunked_grads_flow():
+    q, k, v = _qkv(n=37)
+
+    def loss(q, k, v):
+        return jnp.sum(_chunked_xla_attention(q, k, v, 0.25, 8) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for t in g:
+        assert bool(jnp.isfinite(t).all())
+        assert float(jnp.abs(t).sum()) > 0
