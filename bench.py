@@ -485,8 +485,20 @@ def bench_recipes() -> dict:
         "region_clip": {"BENCH_METHOD": "region_clip"},
         "remat": {"BENCH_REMAT": "1"},
         "eval": {"BENCH_EVAL": "1"},
+        # COCO-average ann count (~13 valid of the 100-slot pad): the
+        # number the 5k-image eval epoch actually runs at (VERDICT r4 #8)
+        "eval_avg_anns": {"BENCH_EVAL": "1", "BENCH_EVAL_VALID": "13"},
+        # the L/14-336 eval recipe (test_eva_vitl14_macc_boxes_masks.sh:
+        # 896px dense pass + 336px crop encodes), run as the eval script
+        # ships (no per-recipe knob exports; the knob A/Bs live in PERF.md)
+        # — VERDICT r4 #4
+        "eval_l14": {
+            "BENCH_EVAL": "1", "BENCH_MODEL": "EVA02-CLIP-L-14-336",
+            "BENCH_IMAGE_SIZE": "896", "BENCH_CROP_SIZE": "336",
+        },
         "detector": {"BENCH_DETECTOR": "1"},
         "detector_lvis": {"BENCH_DETECTOR": "1", "BENCH_DET_PRESET": "ov_lvis_vitb16"},
+        "detector_vitl14": {"BENCH_DETECTOR": "1", "BENCH_DET_PRESET": "ov_coco_vitl14"},
         "e2e": {"BENCH_E2E": "1"},
     }
     for name, env in specs.items():
@@ -522,7 +534,16 @@ def main():
         from clipself_tpu.tools.chip_parity import main as parity_main
 
         return parity_main()
-    result = _bench_distill()
+    # bench the B/16 recipe as shipped: the train scripts export bf16
+    # teacher-attention logits (+1% measured; knob default-off globally
+    # on round-4 advisor advice)
+    had_hl = "CLIPSELF_XLA_ATTN_HALF_LOGITS" in os.environ
+    os.environ.setdefault("CLIPSELF_XLA_ATTN_HALF_LOGITS", "1")
+    try:
+        result = _bench_distill()
+    finally:
+        if not had_hl:
+            del os.environ["CLIPSELF_XLA_ATTN_HALF_LOGITS"]
     # Track BOTH shipped towers: half the reference's recipes train the
     # L/14-336 student at 896px (train_*_eva_vitl14.sh). Unless the caller
     # pinned a model (an A/B run) or opted out, append the L/14 line to the

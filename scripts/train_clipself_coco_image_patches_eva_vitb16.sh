@@ -4,6 +4,9 @@
 # (reference: scripts/train_clipself_coco_image_patches_eva_vitb16.sh).
 # Global batch 16 == the reference's 8 GPUs x per-GPU batch 2; one JAX
 # process drives the whole slice, so there is no torchrun fan-out.
+# bf16 teacher attention logits/probs: +1% measured on the 197-token B/16
+# teacher crops (PERF.md round 4); per-recipe export, default off globally
+export CLIPSELF_XLA_ATTN_HALF_LOGITS=${CLIPSELF_XLA_ATTN_HALF_LOGITS:-1}
 python -m clipself_tpu.train.main \
   --model EVA02-CLIP-B-16 --pretrained checkpoints/EVA02_CLIP_B_psz16_s8B.pt \
   --dataset-type grid_distill --extract-type v2 \

@@ -1,6 +1,9 @@
 #!/usr/bin/env bash
 # CLIPSelf region-proposal distillation, EVA02-B/16 on COCO.
 # (reference: scripts/train_clipself_coco_region_proposals_eva_vitb16.sh)
+# bf16 teacher attention logits/probs: +1% measured on the 197-token B/16
+# teacher crops (PERF.md round 4); per-recipe export, default off globally
+export CLIPSELF_XLA_ATTN_HALF_LOGITS=${CLIPSELF_XLA_ATTN_HALF_LOGITS:-1}
 python -m clipself_tpu.train.main \
   --model EVA02-CLIP-B-16 --pretrained checkpoints/EVA02_CLIP_B_psz16_s8B.pt \
   --dataset-type proposals_distill --extract-type v2 \

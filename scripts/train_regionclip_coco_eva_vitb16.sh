@@ -1,6 +1,9 @@
 #!/usr/bin/env bash
 # RegionCLIP region-text training, EVA02-B/16 on COCO pseudo-labelled regions.
 # (reference: scripts/train_regionclip_coco_eva_vitb16.sh)
+# bf16 teacher attention logits/probs: +1% measured on the 197-token B/16
+# teacher crops (PERF.md round 4); per-recipe export, default off globally
+export CLIPSELF_XLA_ATTN_HALF_LOGITS=${CLIPSELF_XLA_ATTN_HALF_LOGITS:-1}
 python -m clipself_tpu.train.main \
   --model EVA02-CLIP-B-16 --pretrained checkpoints/EVA02_CLIP_B_psz16_s8B.pt \
   --dataset-type region_clip --extract-type v2 \
