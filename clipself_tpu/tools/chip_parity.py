@@ -253,6 +253,171 @@ def run_timm_model(model_name: str, img_size: int, on_tpu: bool) -> tuple[dict, 
     return results, None
 
 
+def _detector_leg(dtype_str: str) -> dict:
+    """One detector leg on the CURRENT jax backend: deterministic seeded
+    construction (create_model seed default + det.init PRNGKey(0)) so both
+    legs build bit-identical f32 params without shipping pytrees across
+    processes. Returns flat numpy arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    from clipself_tpu.detector.config import PRESETS
+    from clipself_tpu.detector.fvit import FViTDetector, backbone_taps
+    from clipself_tpu.models.factory import create_model
+
+    cfg = PRESETS["ov_coco_vitb16"]
+    img_size = cfg.image_size
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_str]
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, img_size, img_size, 3)).astype(np.float32)
+    ce = rng.normal(size=(cfg.num_classes + 1, cfg.embed_dim)).astype(np.float32)
+    ce /= np.linalg.norm(ce, axis=-1, keepdims=True)
+    lo = rng.uniform(0, 0.6, size=(1, 32, 2)).astype(np.float32) * img_size
+    ext = rng.uniform(0.1, 0.35, size=(1, 32, 2)).astype(np.float32) * img_size
+    rois = np.concatenate([lo, np.clip(lo + ext, 0, img_size)], -1).astype(np.float32)
+
+    clip, clip_params = create_model(cfg.clip_model, dtype=dtype)
+    det = FViTDetector(cfg, dtype=dtype)
+    gh = img_size // cfg.patch_size
+    init_taps = [
+        jnp.zeros((1, gh, gh, cfg.backbone_width), dtype)
+        for _ in cfg.out_indices
+    ]
+    det_params = jax.jit(
+        lambda key: det.init(
+            key, init_taps, jnp.asarray(rois[:, :1]), jnp.asarray(ce)
+        )["params"]
+    )(jax.random.PRNGKey(0))
+
+    ji, jce, jrois = jnp.asarray(img), jnp.asarray(ce), jnp.asarray(rois)
+    taps, dense = jax.jit(
+        lambda p, i: backbone_taps(clip, p, i, cfg, True)
+    )(clip_params, ji)
+
+    def head_fn(p, taps, r, c):
+        from clipself_tpu.detector.roi_head import multilevel_roi_align
+
+        feats, smap, dmap = det.apply({"params": p}, taps, method="features")
+        pooled = multilevel_roi_align(
+            feats[:4], r, cfg.anchors.strides[:4], cfg.roi_feat_size,
+            cfg.finest_scale,
+        )
+        b, n = pooled.shape[:2]
+        logits, deltas, _ = det.apply(
+            {"params": p},
+            pooled.reshape((b * n,) + pooled.shape[2:]), c,
+            method=lambda m, x, c_: m.bbox_head(x, c_),
+        )
+        return smap, dmap, logits, deltas
+
+    smap, dmap, logits, deltas = jax.jit(head_fn)(det_params, taps, jrois, jce)
+    bm = jnp.ones(cfg.num_classes + 1, bool)
+    boxes, scores, labels = jax.jit(
+        lambda p, t, d, c: det.apply(
+            {"params": p}, t, d, c, bm, method="predict"
+        )
+    )(det_params, taps, dense, jce)
+    return dict(
+        taps=np.concatenate(
+            [np.asarray(t, np.float32).reshape(-1, t.shape[-1]) for t in taps]
+        ),
+        dense=np.asarray(dense, np.float32).reshape(-1, dense.shape[-1]),
+        rpn=np.concatenate(
+            [np.asarray(s_, np.float32).reshape(-1, s_.shape[-1]) for s_ in smap]
+        ),
+        logits=np.asarray(logits, np.float32),
+        deltas=np.asarray(deltas, np.float32).reshape(-1, 4),
+        det_boxes=np.asarray(boxes, np.float32),
+        det_scores=np.asarray(scores, np.float32),
+        det_labels=np.asarray(labels),
+    )
+
+
+def run_detector_model(img_size: int, on_tpu: bool) -> tuple[dict, None]:
+    """FViT detector `predict` drift: chip bf16 (the shipped path) vs CPU
+    f32, ov_coco_vitb16 preset at its recipe resolution (VERDICT r4 weak
+    #3/#2b: the detector predict path previously had no PARITY_CHIP
+    evidence class — in particular the bf16 NxN RoI-align intermediate and
+    the bf16 head stack).
+
+    Both legs build bit-identical f32 params by seeded construction
+    (`_detector_leg`). The f32 leg runs in a forced-CPU SUBPROCESS: the
+    Pallas kernels (rope roll, NMS) gate on `jax.default_backend()`, which
+    stays "tpu" for CPU-placed arrays in-process, so a same-process CPU leg
+    would trace uninterpretable pallas_calls. Tensor rows compare
+    deterministic intermediates (backbone taps, dense VLM map, RPN maps,
+    bbox-head outputs on FIXED rois — no NMS in the comparison path); the
+    end-to-end `predict` detections are matched by IoU and summarized in a
+    note (NMS can reorder under drift). Select with
+    PARITY_MODELS="fvit_detector_predict:640".
+    """
+    import subprocess
+    import tempfile
+
+    from clipself_tpu.detector.config import PRESETS
+
+    assert PRESETS["ov_coco_vitb16"].image_size == img_size
+
+    with tempfile.NamedTemporaryFile(suffix=".npz") as tf:
+        env = dict(os.environ)
+        env.update({"PARITY_DET_LEG": "f32", "PARITY_DET_OUT": tf.name})
+        t0 = time.perf_counter()
+        subprocess.run(
+            [sys.executable, "-m", "clipself_tpu.tools.chip_parity"],
+            env=env, check=True, cwd=str(REPO),
+        )
+        print(
+            f"detector f32 CPU leg: {time.perf_counter() - t0:.0f}s",
+            file=sys.stderr,
+        )
+        want = dict(np.load(tf.name))
+    got = _detector_leg("bf16")  # current backend: the chip when on_tpu
+
+    tag = "chip bf16" if on_tpu else "cpu bf16"
+    results = {
+        f"{tag}: backbone taps {img_size}": _stats(got["taps"], want["taps"]),
+        f"{tag}: dense vlm map": _stats(got["dense"], want["dense"]),
+        f"{tag}: rpn objectness maps": _stats(got["rpn"], want["rpn"]),
+        f"{tag}: bbox-head cls logits (32 fixed rois)": _stats(
+            got["logits"], want["logits"]
+        ),
+        f"{tag}: bbox-head box deltas (32 fixed rois)": _stats(
+            got["deltas"], want["deltas"]
+        ),
+    }
+
+    # end-to-end predict: IoU-match the f32 leg's confident detections
+    fb, fs, fl = want["det_boxes"], want["det_scores"], want["det_labels"]
+    bb, bs, bl = got["det_boxes"], got["det_scores"], got["det_labels"]
+    keep = fs[0] > 0.0
+    n_match = lab_ok = 0
+    max_sd, min_iou = 0.0, 1.0
+    for j in np.where(keep)[0]:
+        x0 = np.maximum(fb[0, j, 0], bb[0, :, 0])
+        y0 = np.maximum(fb[0, j, 1], bb[0, :, 1])
+        x1 = np.minimum(fb[0, j, 2], bb[0, :, 2])
+        y1 = np.minimum(fb[0, j, 3], bb[0, :, 3])
+        inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
+        a1 = (fb[0, j, 2] - fb[0, j, 0]) * (fb[0, j, 3] - fb[0, j, 1])
+        a2 = (bb[0, :, 2] - bb[0, :, 0]) * (bb[0, :, 3] - bb[0, :, 1])
+        iou = inter / np.maximum(a1 + a2 - inter, 1e-9)
+        m = int(np.argmax(iou))
+        if iou[m] > 0.5:
+            n_match += 1
+            lab_ok += int(bl[0, m] == fl[0, j])
+            max_sd = max(max_sd, abs(float(bs[0, m] - fs[0, j])))
+            min_iou = min(min_iou, float(iou[m]))
+    results["_note"] = (
+        f"End-to-end `predict` (RPN proposals + NMS + VLM fusion + final "
+        f"NMS), random frozen backbone + random class embeddings: "
+        f"{int(keep.sum())} f32 detections above threshold; "
+        f"{n_match} matched in the {tag} leg at IoU>0.5 (min matched IoU "
+        f"{min_iou:.4f}), {lab_ok}/{n_match} same label, max fused-score "
+        f"drift {max_sd:.4f}."
+    )
+    return results, None
+
+
 def run_model(model_name: str, img_large: int, on_tpu: bool) -> tuple[dict, dict]:
     """Golden-vs-chip drift for one tower. Returns (results, grad_stats)."""
     import torch
@@ -490,6 +655,17 @@ def carry_sections(report_path: Path, run_names: set) -> list:
 def main():
     import jax
 
+    leg = os.environ.get("PARITY_DET_LEG")
+    if leg:
+        # detector f32 leg subprocess (run_detector_model): force the CPU
+        # platform BEFORE any backend exists — env JAX_PLATFORMS is not
+        # enough, the axon plugin overrides it
+        jax.config.update("jax_platforms", "cpu")
+        out = _detector_leg(leg)
+        np.savez(os.environ["PARITY_DET_OUT"], **out)
+        print(f"detector {leg} leg done on {jax.default_backend()}", file=sys.stderr)
+        return
+
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILE_CACHE", "/root/.cache/jax_compilation"),
@@ -529,7 +705,9 @@ def main():
     per_model = {}
     lines = list(header)
     for name, size in models:
-        if name in TIMM_PARITY_MODELS:
+        if name == "fvit_detector_predict":
+            per_model[name] = run_detector_model(size, on_tpu)
+        elif name in TIMM_PARITY_MODELS:
             per_model[name] = run_timm_model(name, size, on_tpu)
         else:
             per_model[name] = run_model(name, size, on_tpu)
@@ -550,6 +728,8 @@ def main():
                     f"| {k} | {v['max_abs']:.2e} | {v['mean_abs']:.2e} | "
                     f"{v['min_cos']:.6f} |"
                 )
+        if "_note" in results:
+            lines += ["", results["_note"]]
         if grad_stats:
             lines += [
                 "",
