@@ -62,13 +62,14 @@ def write_synth_det(
         cells = [(0, 0), (1, 0), (0, 1), (1, 1)]
         rng.shuffle(cells)
         half = size // 2
+        margin = max(half // 16, 2)
         for j in range(boxes_per_image):
             cx, cy = cells[j]
             ci = int(rng.integers(0, len(gt_class_indices)))
-            w = int(rng.integers(int(0.25 * half), int(0.8 * half)))
-            h = int(rng.integers(int(0.25 * half), int(0.8 * half)))
-            x0 = cx * half + int(rng.integers(8, half - w - 8))
-            y0 = cy * half + int(rng.integers(8, half - h - 8))
+            w = int(rng.integers(int(0.25 * half), int(0.7 * half)))
+            h = int(rng.integers(int(0.25 * half), int(0.7 * half)))
+            x0 = cx * half + int(rng.integers(margin, half - w - margin + 1))
+            y0 = cy * half + int(rng.integers(margin, half - h - margin + 1))
             x1, y1 = x0 + w, y0 + h
             color = tuple(int(v) for v in colors[ci])
             if ellipses:
