@@ -374,10 +374,17 @@ def run_detector_model(img_size: int, on_tpu: bool) -> tuple[dict, None]:
     got = _detector_leg("bf16")  # current backend: the chip when on_tpu
 
     tag = "chip bf16" if on_tpu else "cpu bf16"
+
+    def _chunk(x, w=1024):
+        # cosine over 1024-wide chunks: the raw last dim (3 anchors) is too
+        # narrow for a meaningful row cosine on near-zero random logits
+        r = np.asarray(x, np.float32).reshape(-1)
+        return r[: r.size // w * w].reshape(-1, w)
+
     results = {
         f"{tag}: backbone taps {img_size}": _stats(got["taps"], want["taps"]),
         f"{tag}: dense vlm map": _stats(got["dense"], want["dense"]),
-        f"{tag}: rpn objectness maps": _stats(got["rpn"], want["rpn"]),
+        f"{tag}: rpn objectness maps": _stats(_chunk(got["rpn"]), _chunk(want["rpn"])),
         f"{tag}: bbox-head cls logits (32 fixed rois)": _stats(
             got["logits"], want["logits"]
         ),
@@ -389,31 +396,40 @@ def run_detector_model(img_size: int, on_tpu: bool) -> tuple[dict, None]:
     # end-to-end predict: IoU-match the f32 leg's confident detections
     fb, fs, fl = want["det_boxes"], want["det_scores"], want["det_labels"]
     bb, bs, bl = got["det_boxes"], got["det_scores"], got["det_labels"]
-    keep = fs[0] > 0.0
-    n_match = lab_ok = 0
-    max_sd, min_iou = 0.0, 1.0
-    for j in np.where(keep)[0]:
-        x0 = np.maximum(fb[0, j, 0], bb[0, :, 0])
-        y0 = np.maximum(fb[0, j, 1], bb[0, :, 1])
-        x1 = np.minimum(fb[0, j, 2], bb[0, :, 2])
-        y1 = np.minimum(fb[0, j, 3], bb[0, :, 3])
-        inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
-        a1 = (fb[0, j, 2] - fb[0, j, 0]) * (fb[0, j, 3] - fb[0, j, 1])
-        a2 = (bb[0, :, 2] - bb[0, :, 0]) * (bb[0, :, 3] - bb[0, :, 1])
-        iou = inter / np.maximum(a1 + a2 - inter, 1e-9)
-        m = int(np.argmax(iou))
-        if iou[m] > 0.5:
-            n_match += 1
-            lab_ok += int(bl[0, m] == fl[0, j])
-            max_sd = max(max_sd, abs(float(bs[0, m] - fs[0, j])))
-            min_iou = min(min_iou, float(iou[m]))
+    def match(idx):
+        n_match = lab_ok = 0
+        max_sd, min_iou = 0.0, 1.0
+        for j in idx:
+            x0 = np.maximum(fb[0, j, 0], bb[0, :, 0])
+            y0 = np.maximum(fb[0, j, 1], bb[0, :, 1])
+            x1 = np.minimum(fb[0, j, 2], bb[0, :, 2])
+            y1 = np.minimum(fb[0, j, 3], bb[0, :, 3])
+            inter = np.clip(x1 - x0, 0, None) * np.clip(y1 - y0, 0, None)
+            a1 = (fb[0, j, 2] - fb[0, j, 0]) * (fb[0, j, 3] - fb[0, j, 1])
+            a2 = (bb[0, :, 2] - bb[0, :, 0]) * (bb[0, :, 3] - bb[0, :, 1])
+            iou = inter / np.maximum(a1 + a2 - inter, 1e-9)
+            m = int(np.argmax(iou))
+            if iou[m] > 0.5:
+                n_match += 1
+                lab_ok += int(bl[0, m] == fl[0, j])
+                max_sd = max(max_sd, abs(float(bs[0, m] - fs[0, j])))
+                min_iou = min(min_iou, float(iou[m]))
+        return n_match, lab_ok, max_sd, min_iou
+
+    keep = np.where(fs[0] > 0.0)[0]
+    top = keep[np.argsort(-fs[0][keep])][:10]
+    am, al, asd, aiou = match(keep)
+    tm, tl, tsd, tiou = match(top)
     results["_note"] = (
         f"End-to-end `predict` (RPN proposals + NMS + VLM fusion + final "
-        f"NMS), random frozen backbone + random class embeddings: "
-        f"{int(keep.sum())} f32 detections above threshold; "
-        f"{n_match} matched in the {tag} leg at IoU>0.5 (min matched IoU "
-        f"{min_iou:.4f}), {lab_ok}/{n_match} same label, max fused-score "
-        f"drift {max_sd:.4f}."
+        f"NMS), random frozen backbone + random class embeddings — the "
+        f"score distribution sits at chance level (~1/66), so the "
+        f"detection TAIL is threshold noise by construction. Top-10 f32 "
+        f"detections by score: {tm}/10 matched in the {tag} leg at "
+        f"IoU>0.5 (min matched IoU {tiou:.4f}), {tl}/{tm} same label, max "
+        f"fused-score drift {tsd:.4f}. All {len(keep)} above-threshold "
+        f"f32 detections: {am} matched, {al}/{am} same label, max drift "
+        f"{asd:.4f}."
     )
     return results, None
 
