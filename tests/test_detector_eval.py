@@ -342,3 +342,30 @@ def test_eval_ap_matches_pycocotools_oracle():
             np.nan_to_num(want["per_class"], nan=-1.0),
             atol=1e-9,
         )
+
+
+def test_paste_mask_geometry():
+    """paste_mask (mmdet get_seg_masks semantics): a uniform prob grid
+    pastes to exactly the box's pixel footprint, clipped to the canvas;
+    a half/half grid splits at the box midline."""
+    import numpy as np
+
+    from clipself_tpu.detector.evaluate import paste_mask
+
+    ones = np.ones((4, 4), np.float32)
+    out = paste_mask(ones, np.asarray([2.0, 3.0, 7.0, 6.0]), (10, 10))
+    want = np.zeros((10, 10), bool)
+    want[3:6, 2:7] = True
+    np.testing.assert_array_equal(out, want)
+
+    # box partially outside the canvas: clipped, no wrap
+    out = paste_mask(ones, np.asarray([-3.0, 8.0, 4.0, 14.0]), (10, 10))
+    assert out[:8].sum() == 0 and out[8:, :4].all() and not out[8:, 4:].any()
+
+    # left-on / right-off grid: the paste splits at the box midline
+    half = np.concatenate(
+        [np.ones((8, 4), np.float32), np.zeros((8, 4), np.float32)], axis=1
+    )
+    out = paste_mask(half, np.asarray([0.0, 0.0, 8.0, 8.0]), (10, 10))
+    assert out[:8, :3].all() and not out[:8, 5:].any()
+    assert out[8:].sum() == 0
