@@ -527,19 +527,20 @@ def main():
         return bench_eval()
     if os.environ.get("BENCH_DETECTOR", "0") == "1":
         return bench_detector()
-    if os.environ.get("BENCH_E2E", "0") == "1":
-        return bench_e2e()
     if os.environ.get("BENCH_CHIP_PARITY", "0") == "1":
         # on-chip bf16+flash drift vs reference CPU goldens -> PARITY_CHIP.md
         from clipself_tpu.tools.chip_parity import main as parity_main
 
         return parity_main()
-    # bench the B/16 recipe as shipped: the train scripts export bf16
-    # teacher-attention logits (+1% measured; knob default-off globally
-    # on round-4 advisor advice)
+    # bench the B/16 recipes as shipped: the train scripts export bf16
+    # teacher-attention logits (+1% measured; knob default-off globally on
+    # round-4 advisor advice). Applies to the default distill leg AND the
+    # E2E mode (the same B/16 train loop behind the loader).
     had_hl = "CLIPSELF_XLA_ATTN_HALF_LOGITS" in os.environ
     os.environ.setdefault("CLIPSELF_XLA_ATTN_HALF_LOGITS", "1")
     try:
+        if os.environ.get("BENCH_E2E", "0") == "1":
+            return bench_e2e()
         result = _bench_distill()
     finally:
         if not had_hl:

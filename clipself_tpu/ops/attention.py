@@ -91,16 +91,19 @@ def _chunked_xla_attention(
     next panel exists — peak logits memory drops by N/chunk with no flash
     pad/layout cost. Query rows are independent, so padding N up to a chunk
     multiple is exact (keys are never padded; padded query rows are sliced
-    off). Each panel stores logits in the input dtype with the f32-stable
-    in-register softmax (exactly the half-logits numerics) when the inputs
-    are half-precision, f32 otherwise. A/B results in PERF.md.
+    off). Panel logits storage follows the `xla_attn_half_logits` knob
+    (input dtype with the f32-stable in-register softmax when on and the
+    inputs are half-precision, f32 otherwise) so a chunk-q A/B isolates
+    chunking from the logits-dtype lever. A/B results in PERF.md.
     """
     b, n, h, d = q.shape
     pad = (-n) % chunk
     qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
     nc = (n + pad) // chunk
     qs = jnp.moveaxis(qp.reshape(b, nc, chunk, h, d), 1, 0)  # [nc, B, c, H, D]
-    half = q.dtype in (jnp.bfloat16, jnp.float16)
+    half = q.dtype in (jnp.bfloat16, jnp.float16) and bool(
+        knobs.get("xla_attn_half_logits")
+    )
     ldtype = q.dtype if half else jnp.float32
 
     def body(_, qc):

@@ -397,6 +397,10 @@ def run_detector_model(img_size: int, on_tpu: bool) -> tuple[dict, None]:
     fb, fs, fl = want["det_boxes"], want["det_scores"], want["det_labels"]
     bb, bs, bl = got["det_boxes"], got["det_scores"], got["det_labels"]
     def match(idx):
+        # one-to-one greedy matching in f32-score order: each bf16
+        # detection may absorb only one f32 detection, so match counts
+        # cannot be inflated by many-to-one argmax hits
+        used = set()
         n_match = lab_ok = 0
         max_sd, min_iou = 0.0, 1.0
         for j in idx:
@@ -408,8 +412,11 @@ def run_detector_model(img_size: int, on_tpu: bool) -> tuple[dict, None]:
             a1 = (fb[0, j, 2] - fb[0, j, 0]) * (fb[0, j, 3] - fb[0, j, 1])
             a2 = (bb[0, :, 2] - bb[0, :, 0]) * (bb[0, :, 3] - bb[0, :, 1])
             iou = inter / np.maximum(a1 + a2 - inter, 1e-9)
+            if used:
+                iou[list(used)] = -1.0
             m = int(np.argmax(iou))
             if iou[m] > 0.5:
+                used.add(m)
                 n_match += 1
                 lab_ok += int(bl[0, m] == fl[0, j])
                 max_sd = max(max_sd, abs(float(bs[0, m] - fs[0, j])))
@@ -417,19 +424,21 @@ def run_detector_model(img_size: int, on_tpu: bool) -> tuple[dict, None]:
         return n_match, lab_ok, max_sd, min_iou
 
     keep = np.where(fs[0] > 0.0)[0]
-    top = keep[np.argsort(-fs[0][keep])][:10]
+    keep = keep[np.argsort(-fs[0][keep])]  # f32-score order for matching
+    top = keep[:10]
     am, al, asd, aiou = match(keep)
     tm, tl, tsd, tiou = match(top)
     results["_note"] = (
         f"End-to-end `predict` (RPN proposals + NMS + VLM fusion + final "
         f"NMS), random frozen backbone + random class embeddings — the "
         f"score distribution sits at chance level (~1/66), so the "
-        f"detection TAIL is threshold noise by construction. Top-10 f32 "
-        f"detections by score: {tm}/10 matched in the {tag} leg at "
-        f"IoU>0.5 (min matched IoU {tiou:.4f}), {tl}/{tm} same label, max "
-        f"fused-score drift {tsd:.4f}. All {len(keep)} above-threshold "
-        f"f32 detections: {am} matched, {al}/{am} same label, max drift "
-        f"{asd:.4f}."
+        f"detection TAIL is threshold noise by construction. Top "
+        f"{len(top)} f32 detections by score: {tm}/{len(top)} one-to-one "
+        f"matched in the {tag} leg at IoU>0.5 (min matched IoU "
+        f"{tiou:.4f}), {tl}/{max(tm, 1)} same label, max fused-score "
+        f"drift {tsd:.4f}. All {len(keep)} above-threshold f32 "
+        f"detections: {am} matched, {al}/{max(am, 1)} same label, max "
+        f"drift {asd:.4f}."
     )
     return results, None
 

@@ -21,7 +21,8 @@ import numpy as np
 def _palette(k: int, rng: np.random.Generator) -> np.ndarray:
     """k visually-distinct bright colors (deterministic)."""
     cols = rng.integers(64, 256, size=(k, 3))
-    cols[:, rng.integers(0, 3)] = 255  # keep them bright
+    # saturate a (per-color) random channel so every color is bright
+    cols[np.arange(k), rng.integers(0, 3, size=k)] = 255
     return cols.astype(np.uint8)
 
 
@@ -44,8 +45,16 @@ def write_synth_det(
     so the dataset's name->label map matches the class-embedding order.
     ellipses: draw filled ellipses (with matching polygon segmentation)
     instead of rectangles — exercises non-box mask learning.
+    boxes_per_image: at most 4 (shapes are placed in distinct quadrants so
+    nothing occludes).
     """
     from PIL import Image, ImageDraw
+
+    if not 1 <= boxes_per_image <= 4:
+        raise ValueError(
+            f"boxes_per_image must be in [1, 4] (one 2x2 grid cell each, "
+            f"no occlusion); got {boxes_per_image}"
+        )
 
     rng = np.random.default_rng(seed)
     colors = _palette(len(gt_class_indices), np.random.default_rng(seed + 1))

@@ -24,15 +24,17 @@ def test_chunked_matches_full_f32(n, chunk):
 
 
 def test_chunked_bf16_matches_half_logits_numerics():
-    """The chunked panels use exactly the half-logits storage/softmax
-    recipe for half inputs — panel-wise equality with that path."""
+    """With the half-logits knob on, the chunked panels use exactly that
+    storage/softmax recipe — panel-wise equality with the full path. (The
+    chunked path FOLLOWS the knob rather than forcing half storage, so a
+    chunk-q A/B isolates chunking from the logits-dtype lever.)"""
     q, k, v = _qkv(n=577, dtype=jnp.bfloat16, seed=1)
     knobs.set("xla_attn_half_logits", True)
     try:
         want = _xla_attention(q, k, v, 0.125)
+        got = _chunked_xla_attention(q, k, v, 0.125, 128)
     finally:
         knobs.set("xla_attn_half_logits", None)
-    got = _chunked_xla_attention(q, k, v, 0.125, 128)
     w = np.asarray(want, np.float32)
     g = np.asarray(got, np.float32)
     # same math per panel; only the jnp.max panel extent differs (the
