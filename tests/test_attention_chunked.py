@@ -67,3 +67,38 @@ def test_chunked_grads_flow():
     for t in g:
         assert bool(jnp.isfinite(t).all())
         assert float(jnp.abs(t).sum()) > 0
+
+
+def test_chunk_knob_model_level_equivalence():
+    """The knob routes every mask-free XLA attention in a real tower; the
+    tower's outputs must be unchanged (f32, CPU)."""
+    from clipself_tpu.core.config import config_from_dict
+    from clipself_tpu.models.factory import create_model
+
+    cfg = config_from_dict(
+        {
+            "embed_dim": 16,
+            "vision_cfg": {
+                "image_size": 40, "layers": 2, "width": 32, "head_width": 16,
+                "patch_size": 8, "mlp_ratio": 2.0,
+                "eva_model_name": "tiny-chunk-test", "rope": True,
+                "naiveswiglu": True, "subln": True,
+            },
+            "text_cfg": {
+                "context_length": 8, "vocab_size": 64, "width": 16,
+                "heads": 2, "layers": 1,
+            },
+        },
+        name="tiny-chunk",
+    )
+    model, params = create_model(cfg, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 40, 40, 3)), jnp.float32)
+    base = model.apply({"params": params}, x, method="encode_image")
+    knobs.set("xla_attn_chunk_q", 8)  # 26 tokens -> 4 panels of 8
+    try:
+        routed = model.apply({"params": params}, x, method="encode_image")
+    finally:
+        knobs.set("xla_attn_chunk_q", None)
+    np.testing.assert_allclose(
+        np.asarray(routed), np.asarray(base), atol=1e-6, rtol=1e-6
+    )
