@@ -559,11 +559,17 @@ def main():
         os.environ["BENCH_CROP_SIZE"] = "336"
         # bench the recipe as shipped: the L/14 train scripts export the
         # fused-LN knob (measured +1.4% on the 24-layer tower, PERF.md;
-        # default-off globally because B/16 measures -2.4%)
-        recipe_env = ("CLIPSELF_PALLAS_LN", "CLIPSELF_XLA_ATTN_HALF_LOGITS")
+        # default-off globally because B/16 measures -2.4%), bf16 teacher
+        # logits, and the 128-wide query-chunked teacher attention
+        # (round 5, +2% on the 577-token crops; L/14-only)
+        recipe_env = {
+            "CLIPSELF_PALLAS_LN": "1",
+            "CLIPSELF_XLA_ATTN_HALF_LOGITS": "1",
+            "CLIPSELF_XLA_ATTN_CHUNK_Q": "128",
+        }
         had = {k: k in os.environ for k in recipe_env}
-        for k in recipe_env:
-            os.environ.setdefault(k, "1")
+        for k, v in recipe_env.items():
+            os.environ.setdefault(k, v)
         try:
             l14 = _bench_distill()
             result["l14_336_896px_img_s"] = l14["value"]

@@ -141,7 +141,10 @@ _KNOBS: Dict[str, Knob] = {
             "between materializing [B, H, N, N] and Pallas flash, aimed at "
             "the L/14 teacher's 577-token crops (VERDICT r4 #3). 0 = off "
             "(default); only engages for mask-free calls with N > chunk. "
-            "A/B in PERF.md.",
+            "Measured +2% at 128 on the L/14 distill recipe (PERF.md round "
+            "5) — exported by the train_clipself_*_eva_vitl14.sh scripts "
+            "and the bench L/14 leg; NOT a global default (the B/16 "
+            "teacher's 197-token maps are too small to matter).",
         ),
         Knob(
             "fused_proj", False, bool, False,

@@ -7,6 +7,9 @@ export CLIPSELF_PALLAS_LN=${CLIPSELF_PALLAS_LN:-1}
 # bf16 teacher attention logits measured +6% on the 577-token L/14 teacher
 # crops (PERF.md round 4); per-recipe, not a global default (advisor round 4)
 export CLIPSELF_XLA_ATTN_HALF_LOGITS=${CLIPSELF_XLA_ATTN_HALF_LOGITS:-1}
+# query-chunked teacher attention (5 panels of 128 over the 577-token
+# crops) measured +2% on top of bf16 logits (PERF.md round 5); L/14-only
+export CLIPSELF_XLA_ATTN_CHUNK_Q=${CLIPSELF_XLA_ATTN_CHUNK_Q:-128}
 python -m clipself_tpu.train.main \
   --model EVA02-CLIP-L-14-336 --pretrained checkpoints/EVA02_CLIP_L_336_psz14_s6B.pt \
   --dataset-type proposals_distill --extract-type v2 \
