@@ -147,6 +147,16 @@ _KNOBS: Dict[str, Knob] = {
             "teacher's 197-token maps are too small to matter).",
         ),
         Knob(
+            "det_roi_concat_levels", True, bool, False,
+            "Detector multi-level RoI-align over a row-concatenated pyramid "
+            "(ops/roi_align.py::roi_align_nxn_levels): per-level axis "
+            "weights scattered at static row offsets, one separable "
+            "contraction, no 4-output one-hot blend — vs pooling every roi "
+            "on every level. Same semantics up to f32 accumulation order "
+            "(equivalence-tested); measured A/B in PERF.md. 0 restores the "
+            "pool-all-levels blend path.",
+        ),
+        Knob(
             "fused_proj", False, bool, False,
             "Run the subln q/k/v projections (and SwiGLU's gate+up pair) "
             "as one concatenated matmul per site instead of 3/2 separate "

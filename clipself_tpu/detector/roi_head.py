@@ -31,7 +31,8 @@ from clipself_tpu.detector.config import FViTConfig
 from clipself_tpu.detector.layers import ConvNorm
 from clipself_tpu.detector.nms import NEG_INF, multiclass_nms
 from clipself_tpu.detector.targets import assign_max_iou, random_sample
-from clipself_tpu.ops.roi_align import roi_align_nxn
+from clipself_tpu.core import knobs
+from clipself_tpu.ops.roi_align import roi_align_nxn, roi_align_nxn_levels
 
 Dtype = Any
 
@@ -52,6 +53,11 @@ def multilevel_roi_align(
     scale = jnp.sqrt(jnp.maximum(box_area(rois), 1e-6))
     lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
     lvl = jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)  # [B, P]
+    if knobs.get("det_roi_concat_levels"):
+        # one contraction over the row-concatenated pyramid instead of
+        # pooling every roi on every level (round-5, ~2x less traffic on
+        # the trace's largest line; equivalence-tested vs the blend path)
+        return roi_align_nxn_levels(feats, rois, lvl, strides, (out_size, out_size))
     out = None
     for i, (f, s) in enumerate(zip(feats, strides)):
         pooled = roi_align_nxn(f, rois / float(s), (out_size, out_size))

@@ -191,6 +191,87 @@ def roi_align_nxn(
     return out.astype(feats.dtype)
 
 
+def roi_align_nxn_levels(
+    feats,
+    boxes: jnp.ndarray,
+    lvl: jnp.ndarray,
+    strides,
+    output_size: tuple[int, int],
+) -> jnp.ndarray:
+    """Multi-level aligned RoI-align over a row-concatenated pyramid.
+
+    Same per-roi semantics as pooling each roi from its assigned level —
+    ``roi_align_nxn(feats[l], boxes / strides[l], output_size)`` for
+    ``l = lvl`` — but as ONE separable contraction: the pyramid levels are
+    concatenated along the row axis (columns zero-padded to the widest
+    level) and each roi's per-level axis weights (cheap, no channel dim)
+    are placed at its level's static row offset, zero everywhere else.
+    The expensive ``[M, oh, W, C]`` y-stage intermediate therefore
+    materializes ONCE at the finest level's width instead of once per
+    level, and the 4-output one-hot blend of `multilevel_roi_align`
+    disappears — ~2x less HBM traffic on a bandwidth-bound op (the
+    round-4 detector trace's largest line). Zero weight rows contribute
+    exact zeros, so the result differs from the per-level path only by
+    f32 accumulation order.
+
+    Args:
+      feats: list of [B, H_l, W_l, C] maps, finest first.
+      boxes: [B, M, 4] xyxy in IMAGE coordinates.
+      lvl: [B, M] int assigned level per roi.
+      strides: per-level image->feature scale divisors.
+      output_size: (oh, ow).
+    Returns [B, M, oh, ow, C] (divided by each roi's own sample count).
+    """
+    b, m = boxes.shape[:2]
+    oh, ow = output_size
+    w_max = max(int(f.shape[2]) for f in feats)
+    h_tot = sum(int(f.shape[1]) for f in feats)
+    h_pad = -h_tot % 8
+    fcat = jnp.concatenate(
+        [
+            jnp.pad(f, ((0, 0), (0, 0), (0, w_max - int(f.shape[2])), (0, 0)))
+            for f in feats
+        ],
+        axis=1,
+    )
+    if h_pad:
+        fcat = jnp.pad(fcat, ((0, 0), (0, h_pad), (0, 0), (0, 0)))
+    inter_dtype = fcat.dtype if fcat.dtype == jnp.bfloat16 else jnp.float32
+
+    fb = boxes.reshape(b * m, 4).astype(jnp.float32)
+    fl = lvl.reshape(b * m)
+    wy_parts, wx_sum, count = [], None, jnp.ones((b * m,), jnp.float32)
+    for i, f in enumerate(feats):
+        hl, wl = int(f.shape[1]), int(f.shape[2])
+        bx = fb / float(strides[i])
+        x0, y0, x1, y1 = (bx[:, j] - 0.5 for j in range(4))
+        max_sy = max(-(-hl // oh), 1) + 1
+        max_sx = max(-(-wl // ow), 1) + 1
+        wy, ny = _bin_axis_weights(y0, y1 - y0, hl, oh, max_sy)  # [N, oh, hl]
+        wx, nx = _bin_axis_weights(x0, x1 - x0, wl, ow, max_sx)  # [N, ow, wl]
+        sel = (fl == i)
+        count = jnp.where(sel, jnp.maximum(ny * nx, 1.0), count)
+        selw = sel.astype(jnp.float32)[:, None, None]
+        wy_parts.append(wy * selw)
+        wxp = jnp.pad(wx * selw, ((0, 0), (0, 0), (0, w_max - wl)))
+        wx_sum = wxp if wx_sum is None else wx_sum + wxp
+    wy_cat = jnp.concatenate(wy_parts, axis=-1)  # [N, oh, h_tot]
+    if h_pad:
+        wy_cat = jnp.pad(wy_cat, ((0, 0), (0, 0), (0, h_pad)))
+    wy_cat = wy_cat.reshape(b, m, oh, h_tot + h_pad).astype(inter_dtype)
+    wx_cat = wx_sum.reshape(b, m, ow, w_max).astype(inter_dtype)
+
+    t1 = jnp.einsum(
+        "bmyh,bhwc->bmywc", wy_cat, fcat.astype(inter_dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(inter_dtype)
+    out = jnp.einsum(
+        "bmxw,bmywc->bmyxc", wx_cat, t1, preferred_element_type=jnp.float32
+    )
+    out = out / count.reshape(b, m, 1, 1, 1)
+    return out.astype(feats[0].dtype)
+
+
 def denormalize_boxes(normed_boxes: jnp.ndarray, feat_h: int, feat_w: int) -> jnp.ndarray:
     """Scale [0,1]-normalized xyxy boxes to feature-map coordinates
     (reference `_denormalize_boxes`, `eva_vit_model.py:655-664`)."""

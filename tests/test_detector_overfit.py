@@ -46,8 +46,12 @@ def test_detector_overfits_single_image():
         "images": images, "gt_boxes": gt_boxes, "gt_labels": gt_labels,
         "gt_valid": gt_valid,
     }
+    # 160 steps: at 120 the acceptance was one reduction-order ulp from the
+    # margin — the round-5 concat-pyramid RoI backward (bit-exact forward,
+    # ~2e-7 relative grad rounding vs the blend path) landed one box at
+    # IoU .48. A trajectory-robustness bump, not a semantics change.
     first = last = None
-    for i in range(120):
+    for i in range(160):
         state, metrics = step(state, clip_params, batch, jax.random.PRNGKey(0))
         if i == 0:
             first = float(metrics["loss"])

@@ -82,3 +82,68 @@ def test_roi_align_nxn_bf16_drift_bound_detector_scale():
     assert rel < 5e-3, rel
     assert cos.min() > 0.9999, cos.min()
     assert np.abs(yb - yf).max() < 0.02
+
+
+def test_roi_align_nxn_levels_equals_blend_path():
+    """The row-concatenated-pyramid pooling (`roi_align_nxn_levels`, the
+    round-5 detector default) EQUALS pooling every roi on every level and
+    one-hot blending — the formulation it replaces — up to f32 accumulation
+    order. Levels at detector-like strides, rois spanning all four levels
+    (including degenerate and partly-outside boxes)."""
+    import jax
+
+    from clipself_tpu.ops.roi_align import roi_align_nxn_levels
+
+    rng = np.random.default_rng(3)
+    img = 128
+    strides = (4, 8, 16, 32)
+    feats = [
+        jnp.asarray(
+            rng.normal(size=(2, img // s, img // s, 8)).astype(np.float32)
+        )
+        for s in strides
+    ]
+    m = 24
+    xy = rng.uniform(-8, img - 4, size=(2, m, 2)).astype(np.float32)
+    wh = rng.uniform(0.0, 110, size=(2, m, 2)).astype(np.float32)  # incl. tiny
+    wh[:, 0] = 0.0  # degenerate roi
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    # assignment spanning every level (mmdet's rule, as in roi_head)
+    area = (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
+    lvl = jnp.clip(
+        jnp.floor(jnp.log2(jnp.sqrt(jnp.maximum(area, 1e-6)) / 8.0 + 1e-6)),
+        0, 3,
+    ).astype(jnp.int32)
+    assert len(np.unique(np.asarray(lvl))) == 4  # all levels exercised
+
+    got = np.asarray(roi_align_nxn_levels(feats, boxes, lvl, strides, (7, 7)))
+    want = None
+    for i, (f, s) in enumerate(zip(feats, strides)):
+        pooled = roi_align_nxn(f, boxes / float(s), (7, 7))
+        sel = (lvl == i).astype(pooled.dtype)[..., None, None, None]
+        want = pooled * sel if want is None else want + pooled * sel
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_multilevel_roi_align_knob_routes_both_paths():
+    """`multilevel_roi_align` gives the same answer with the concat-pyramid
+    knob on (default) and off (the pool-all-levels blend path)."""
+    from clipself_tpu.core import knobs
+    from clipself_tpu.detector.roi_head import multilevel_roi_align
+
+    rng = np.random.default_rng(4)
+    strides = (4, 8, 16, 32)
+    feats = [
+        jnp.asarray(rng.normal(size=(1, 64 // s * 4, 64 // s * 4, 8)).astype(np.float32))
+        for s in strides
+    ]
+    xy = rng.uniform(0, 200, size=(1, 12, 2)).astype(np.float32)
+    wh = rng.uniform(4, 180, size=(1, 12, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, np.clip(xy + wh, None, 256)], -1))
+    on = np.asarray(multilevel_roi_align(feats, boxes, strides, 7, 56.0))
+    knobs.set("det_roi_concat_levels", False)
+    try:
+        off = np.asarray(multilevel_roi_align(feats, boxes, strides, 7, 56.0))
+    finally:
+        knobs.set("det_roi_concat_levels", None)
+    np.testing.assert_allclose(on, off, rtol=2e-5, atol=2e-5)
